@@ -1,0 +1,416 @@
+"""RoarGraph index construction, reformulated for TPU.
+
+Reference pipeline (``BuildRoarGraph``, ``src/index_bipartite.cpp:143-233`` →
+``LinkProjection:1043-1277``):
+
+  Phase A  per training query: occlusion-prune its NN list into the head
+           neighbor's out-edges; insert reverse edges under per-node locks,
+           re-pruning nodes that overflow ``M_pjbp``.
+  Phase B  per base node: beam-search the (copied) graph, occlusion-prune the
+           expanded set into a "supply" out-list, reverse-insert with bound
+           ``2*M_pjbp``, re-prune overflows, then merge up to ``2*M_pjbp``
+           novel supply edges back into the projection graph.
+
+TPU reformulation (SURVEY.md §7.1): every mutation-under-lock becomes a
+deterministic bulk round — a ``vmap``-style batched kernel over nodes plus a
+host-side scatter/group-by. Phase A pruning is a pure function of each query's
+own NN list, so it vectorizes directly; reverse-edge insertion becomes a
+global edge-flip + segmented group-by + one batched re-prune of overflowing
+nodes; Phase B reuses the lockstep search engine over a frozen graph snapshot
+(the reference's racy interleaving is replaced by bulk-synchronous rounds).
+
+Known, deliberate divergences from the reference (all order-level, none
+semantic — parity is judged on the recall/QPS curve, SURVEY.md §7.4):
+
+- reverse-edge arrival order is source-id-ascending instead of thread-racing;
+- a node overflowing during reverse insertion is re-pruned once over the full
+  candidate union instead of once per arriving edge;
+- phase-B searches all read the same graph snapshot;
+- the phase-B expanded-set capture is bounded at ``L_pjpq`` entries.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import BuildConfig, Metric
+from .graph import PAD, PaddedGraph
+from .ops.distance import batched_scores, pairwise_scores
+from .ops.prune import occlusion_prune
+from .search import beam_search_batch
+
+import functools
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _medoid(base: jnp.ndarray) -> jnp.ndarray:
+    """Entry point: the base point closest (L2) to the centroid — parity with
+    ``CalculateProjectionep`` (``src/index_bipartite.cpp:2004-2041``), which
+    uses plain L2 regardless of the build metric."""
+    center = jnp.mean(base.astype(jnp.float32), axis=0, keepdims=True)
+    d = pairwise_scores(center, base, Metric.L2)[0]
+    return jnp.argmin(d).astype(jnp.int32)
+
+
+def compute_medoid(base) -> int:
+    return int(_medoid(jnp.asarray(base)))
+
+
+@dataclasses.dataclass
+class BuildReport:
+    """Build-time breakdown, matching the reference's printed phases
+    (projection time / connectivity time, ``src/index_bipartite.cpp:1156,1276``)."""
+    projection_s: float = 0.0
+    connectivity_s: float = 0.0
+    total_s: float = 0.0
+    stats: dict = dataclasses.field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers (deterministic group-by; no heavy math here)
+# ---------------------------------------------------------------------------
+
+def _group_ranks(sorted_keys: np.ndarray) -> np.ndarray:
+    """rank of each element within its (contiguous) key group."""
+    n = sorted_keys.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    is_first = np.empty(n, bool)
+    is_first[0] = True
+    is_first[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    idx = np.arange(n)
+    first_idx = np.where(is_first, idx, 0)
+    first_idx = np.maximum.accumulate(first_idx)
+    return idx - first_idx
+
+
+def _prune_rows_device(cand_ids, cand_dists, cand_valid, node_ids, base_dev,
+                       *, metric, M, backfill, defer_mask=None, batch=1024):
+    """Run the batched occlusion prune over host arrays, in device batches.
+
+    Returns (ids [R, M], dists [R, M]) numpy."""
+    R, C = cand_ids.shape
+    out_i = np.full((R, M), PAD, np.int32)
+    out_d = np.full((R, M), np.inf, np.float32)
+    use_defer = defer_mask is not None
+    for s in range(0, R, batch):
+        e = min(s + batch, R)
+        pad = batch - (e - s) if (e - s) < batch and R > batch else 0
+        sl = slice(s, e)
+
+        def _pad(a, fill):
+            if not pad:
+                return a[sl]
+            return np.concatenate(
+                [a[sl], np.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+        ids_b = _pad(cand_ids, -1)
+        d_b = _pad(cand_dists, np.inf)
+        v_b = _pad(cand_valid, False)
+        n_b = _pad(node_ids, 0)
+        dm = None
+        if use_defer:
+            dm = jnp.asarray(_pad(defer_mask, False))
+        ri, rd = occlusion_prune(
+            jnp.asarray(ids_b), jnp.asarray(d_b), jnp.asarray(v_b),
+            base_dev[jnp.asarray(n_b)], base_dev,
+            metric=metric, M=M, backfill=backfill,
+            defer_mask=dm, use_defer=use_defer)
+        out_i[sl] = np.asarray(ri)[: e - s]
+        out_d[sl] = np.asarray(rd)[: e - s]
+    return out_i, out_d
+
+
+def _reverse_round(ids: np.ndarray, dists: np.ndarray, base_dev, *,
+                   metric: Metric, cap: int, prune_M: int,
+                   prune_backfill: bool, out_width: int,
+                   batch: int = 1024):
+    """One bulk reverse-edge insertion round.
+
+    Semantics per destination node v (parity with ``ProjectionAddReverse``
+    ``src/index_bipartite.cpp:1391-1432`` / ``SupplyAddReverse:1352-1389``):
+    collect reverse sources {u : v in adj[u]} not already in adj[v]; if
+    deg(v) + |new| <= cap, append them; otherwise occlusion-re-prune the whole
+    union down to ``prune_M``  (``PruneProjectionReverseCandidates:1527-1610``
+    with backfill / ``PruneProjectionInternalReverseCandidates:1434-1525``
+    without). Distances ride along (symmetric metrics), so no recomputation.
+    """
+    N, W = ids.shape
+    valid = ids != PAD
+    deg = valid.sum(axis=1).astype(np.int64)
+
+    src = np.repeat(np.arange(N, dtype=np.int64), W)[valid.ravel()]
+    dst = ids.ravel()[valid.ravel()].astype(np.int64)
+    d = dists.ravel()[valid.ravel()]
+
+    # Drop reverse candidates (dst -> src) that already exist as edges.
+    fwd_keys = src * N + dst
+    rev_keys = dst * N + src
+    present = np.isin(rev_keys, fwd_keys)
+    src, dst, d = src[~present], dst[~present], d[~present]
+
+    # Deterministic arrival order: (dst, src) ascending.
+    order = np.lexsort((src, dst))
+    sdst, ssrc, sd = dst[order], src[order], d[order]
+    # A (u, v) pair can appear at most once (rows are duplicate-free), so
+    # groups need no intra-dedup.
+    rank = _group_ranks(sdst)
+    counts = np.bincount(sdst, minlength=N)
+
+    total = deg + counts
+    fits = total <= cap
+
+    out_i = np.full((N, out_width), PAD, np.int32)
+    out_d = np.full((N, out_width), np.inf, np.float32)
+    out_i[:, :W] = ids
+    out_d[:, :W] = dists
+
+    # Nodes that fit: append in arrival order after existing entries.
+    app = fits[sdst]
+    pos = deg[sdst] + rank
+    ok = app & (pos < out_width)
+    out_i[sdst[ok], pos[ok]] = ssrc[ok].astype(np.int32)
+    out_d[sdst[ok], pos[ok]] = sd[ok]
+
+    # Overflowing nodes: one batched re-prune over old + new candidates.
+    over = np.flatnonzero(~fits)
+    if over.size:
+        max_new = 3 * cap  # closest-first truncation of huge reverse fan-in
+        C = W + max_new
+        n_o = over.size
+        cand_i = np.full((n_o, C), -1, np.int32)
+        cand_d = np.full((n_o, C), np.inf, np.float32)
+        cand_i[:, :W] = ids[over]
+        cand_d[:, :W] = dists[over]
+
+        # order new candidates per overflow node by (distance, src) and take
+        # the closest max_new
+        o_mask = ~fits[sdst]
+        o_dst, o_src, o_d = sdst[o_mask], ssrc[o_mask], sd[o_mask]
+        o_order = np.lexsort((o_src, o_d, o_dst))
+        o_dst, o_src, o_d = o_dst[o_order], o_src[o_order], o_d[o_order]
+        o_rank = _group_ranks(o_dst)
+        keepn = o_rank < max_new
+        o_dst, o_src, o_d, o_rank = (o_dst[keepn], o_src[keepn], o_d[keepn],
+                                     o_rank[keepn])
+        row_of = np.full(N, -1, np.int64)
+        row_of[over] = np.arange(n_o)
+        r = row_of[o_dst]
+        cand_i[r, W + o_rank] = o_src.astype(np.int32)
+        cand_d[r, W + o_rank] = o_d
+
+        pi, pd = _prune_rows_device(
+            cand_i, cand_d, cand_i >= 0, over.astype(np.int32), base_dev,
+            metric=metric, M=prune_M, backfill=prune_backfill, batch=batch)
+        out_i[over] = PAD
+        out_d[over] = np.inf
+        out_i[over, :prune_M] = pi
+        out_d[over, :prune_M] = pd
+    return out_i, out_d
+
+
+# ---------------------------------------------------------------------------
+# Phase A — projection from the query-base bipartite graph
+# ---------------------------------------------------------------------------
+
+def _phase_a(base_dev, train_knn: np.ndarray, cfg: BuildConfig, N: int):
+    """Per training query: head NN becomes the target node; the remaining NNs
+    are occlusion-pruned into its out-list (``LinkProjection`` phase A,
+    ``src/index_bipartite.cpp:1059-1097``). Pure per-query → fully batched.
+
+    Target collisions (several queries sharing a head NN) resolve
+    last-query-wins, a deterministic stand-in for the reference's
+    thread-racing overwrite of ``projection_graph_[tgt]`` (``:1088-1091``)."""
+    Nq = train_knn.shape[0]
+    M_sq = min(cfg.M_sq, train_knn.shape[1])
+    knn = train_knn[:, :M_sq].astype(np.int64)
+    tgt = knn[:, 0].copy()
+    cand = knn[:, 1:].astype(np.int32)
+    valid = cand != tgt[:, None].astype(np.int32)
+    valid &= cand >= 0
+    # GT rows are unique by construction; enforce anyway (first occurrence
+    # wins) to protect the visited-bitmask invariant downstream.
+    sort_idx = np.argsort(cand, axis=1, kind="stable")
+    sorted_c = np.take_along_axis(cand, sort_idx, axis=1)
+    dup_sorted = np.zeros_like(valid)
+    dup_sorted[:, 1:] = sorted_c[:, 1:] == sorted_c[:, :-1]
+    dup = np.zeros_like(valid)
+    np.put_along_axis(dup, sort_idx, dup_sorted, axis=1)
+    valid &= ~dup
+
+    # distances candidate -> target, batched on device
+    C = cand.shape[1]
+    cdists = np.empty((Nq, C), np.float32)
+    bs = cfg.prune_batch
+    for s in range(0, Nq, bs):
+        e = min(s + bs, Nq)
+        tgt_vec = base_dev[jnp.asarray(tgt[s:e])]
+        cvecs = base_dev[jnp.asarray(np.clip(cand[s:e], 0, N - 1))]
+        cdists[s:e] = np.asarray(batched_scores(tgt_vec, cvecs, cfg.metric))
+
+    pruned_i, pruned_d = _prune_rows_device(
+        cand, cdists, valid, tgt.astype(np.int32), base_dev,
+        metric=cfg.metric, M=cfg.M_pjbp, backfill=True, batch=cfg.prune_batch)
+
+    # scatter out-lists; duplicate targets: last query index wins
+    adj_i = np.full((N, cfg.M_pjbp), PAD, np.int32)
+    adj_d = np.full((N, cfg.M_pjbp), np.inf, np.float32)
+    adj_i[tgt] = pruned_i
+    adj_d[tgt] = pruned_d
+    return adj_i, adj_d
+
+
+# ---------------------------------------------------------------------------
+# Phase B — connectivity augmentation
+# ---------------------------------------------------------------------------
+
+def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
+                          proj_i: np.ndarray):
+    """Per base node: beam-search the supply graph from the medoid, then
+    occlusion-prune the expanded set into the node's new supply out-list
+    (``SearchProjectionGraphInternal:1279-1350`` +
+    ``PruneProjectionBaseSearchCandidates:1846-1940``). The prune defers
+    candidates already present in the node's projection list from seeding the
+    result (the reference's first-element skip, ``:1858-1865``)."""
+    N = adj_i.shape[0]
+    L = cfg.L_pjpq
+    R = L  # bounded expanded-set capture
+    B = cfg.search_batch
+    M = cfg.M_pjbp
+
+    out_i = np.full((N, M), PAD, np.int32)
+    out_d = np.full((N, M), np.inf, np.float32)
+
+    adj_dev = jnp.asarray(adj_i)
+    max_hops = 16 * L + 64
+
+    for s in range(0, N, B):
+        e = min(s + B, N)
+        nodes = np.arange(s, e, dtype=np.int32)
+        if e - s < B:
+            nodes = np.concatenate(
+                [nodes, np.zeros(B - (e - s), np.int32)])
+        res = beam_search_batch(
+            adj_dev, base_dev, base_dev[jnp.asarray(nodes)], jnp.int32(ep),
+            k=1, L=L, metric=cfg.metric, max_hops=max_hops,
+            capture=R, exclude_self=True, self_ids=jnp.asarray(nodes))
+        ret_i = np.asarray(res.ret_ids)[: e - s]
+        ret_d = np.asarray(res.ret_dists)[: e - s]
+        nodes = nodes[: e - s]
+
+        valid = ret_i >= 0
+        # also drop the node itself if it slipped in as the entry point
+        valid &= ret_i != nodes[:, None]
+        # defer candidates that are already projection-neighbors of the node
+        defer = np.zeros_like(valid)
+        for b, node in enumerate(nodes):
+            row = proj_i[node]
+            row = row[row != PAD]
+            if row.size:
+                defer[b] = np.isin(ret_i[b], row)
+        defer &= valid
+
+        pi, pd = _prune_rows_device(
+            ret_i, ret_d, valid, nodes, base_dev,
+            metric=cfg.metric, M=M, backfill=False,
+            defer_mask=defer, batch=min(cfg.prune_batch, 256))
+        out_i[s:e] = pi
+        out_d[s:e] = pd
+    return out_i, out_d
+
+
+def _merge_supply(proj_i: np.ndarray, supply_i: np.ndarray, M_pjbp: int):
+    """Append up to ``2*M_pjbp`` supply neighbors not already present to each
+    projection list (``src/index_bipartite.cpp:1251-1269``)."""
+    N = proj_i.shape[0]
+    width = proj_i.shape[1] + 2 * M_pjbp
+    out = np.full((N, width), PAD, np.int32)
+    out[:, : proj_i.shape[1]] = proj_i
+    deg = (proj_i != PAD).sum(axis=1)
+    for i in range(N):
+        row = proj_i[i][proj_i[i] != PAD]
+        sup = supply_i[i][supply_i[i] != PAD]
+        novel = sup[~np.isin(sup, row)][: 2 * M_pjbp]
+        out[i, deg[i]: deg[i] + novel.size] = novel
+    max_deg = int((out != PAD).sum(axis=1).max()) if N else 0
+    return out[:, :max(max_deg, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Top-level build
+# ---------------------------------------------------------------------------
+
+def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
+                    *, verbose: bool = False):
+    """Build a RoarGraph projection index.
+
+    Args:
+      base:      [N, D] base vectors (already normalized for COSINE).
+      train_knn: [Nq, >=M_sq] exact NN ids of training queries against base —
+                 the output of :func:`roargraph_tpu.ops.topk.knn` (or a loaded
+                 reference gt file, ``LoadLearnBaseKNN``
+                 ``src/index_bipartite.cpp:2622-2642``).
+      cfg:       build parameters.
+
+    Returns (PaddedGraph, BuildReport).
+    """
+    cfg = cfg or BuildConfig()
+    base = np.asarray(base)
+    N = base.shape[0]
+    base_dev = jnp.asarray(base)
+    t0 = time.perf_counter()
+
+    ep = compute_medoid(base_dev)
+    assert 0 <= ep < N
+
+    # ---- Phase A: projection ------------------------------------------
+    adj_i, adj_d = _phase_a(base_dev, np.asarray(train_knn), cfg, N)
+    # two reverse-symmetrization rounds: the per-query inserts plus the
+    # post-phase flush (``LinkProjection:1092`` and ``:1100-1104``)
+    for _ in range(2):
+        adj_i, adj_d = _reverse_round(
+            adj_i, adj_d, base_dev, metric=cfg.metric, cap=cfg.M_pjbp,
+            prune_M=cfg.M_pjbp, prune_backfill=True, out_width=cfg.M_pjbp,
+            batch=cfg.prune_batch)
+    t1 = time.perf_counter()
+    if verbose:
+        print(f"projection time: {t1 - t0:.2f}s")
+
+    # ---- Phase B: connectivity augmentation ---------------------------
+    supply_i, supply_d = _phase_b_search_prune(
+        adj_i, adj_d, base_dev, cfg, ep, adj_i)
+    # reverse insertion with bound 2*M (``SupplyAddReverse:1353``); overflow
+    # re-prunes to M without backfill (``PruneProjectionInternalReverse…``)
+    supply_i, supply_d = _reverse_round(
+        supply_i, supply_d, base_dev, metric=cfg.metric, cap=2 * cfg.M_pjbp,
+        prune_M=cfg.M_pjbp, prune_backfill=False, out_width=2 * cfg.M_pjbp,
+        batch=cfg.prune_batch)
+    # final degree check: any node still above M is re-pruned to M
+    # (``LinkProjection:1224-1248``)
+    over = np.flatnonzero((supply_i != PAD).sum(axis=1) > cfg.M_pjbp)
+    if over.size:
+        pi, pd = _prune_rows_device(
+            supply_i[over], supply_d[over], supply_i[over] != PAD,
+            over.astype(np.int32), base_dev,
+            metric=cfg.metric, M=cfg.M_pjbp, backfill=False,
+            batch=cfg.prune_batch)
+        supply_i[over] = PAD
+        supply_d[over] = np.inf
+        supply_i[over, : cfg.M_pjbp] = pi
+        supply_d[over, : cfg.M_pjbp] = pd
+
+    # merge novel supply edges into the projection graph (``:1251-1269``)
+    merged = _merge_supply(adj_i, supply_i, cfg.M_pjbp)
+    t2 = time.perf_counter()
+    if verbose:
+        print(f"connectivity enhancement time: {t2 - t1:.2f}s")
+
+    graph = PaddedGraph(ids=merged, ep=int(ep))
+    from .graph import stats as gstats
+    report = BuildReport(projection_s=t1 - t0, connectivity_s=t2 - t1,
+                         total_s=t2 - t0, stats=gstats(graph))
+    return graph, report

@@ -1,0 +1,120 @@
+"""Exact brute-force k-NN on the MXU — the in-framework replacement for the
+reference's external DiskANN/MKL ``compute_groundtruth`` step
+(``README.md:62-75``, SURVEY.md §2.2) and the test oracle for every other
+component.
+
+Design: stream the base set through the MXU in tiles; carry a running top-k
+per query block and merge each tile's scores into it with ``lax.top_k``. The
+whole sweep is one ``lax.scan`` under ``jit`` — static shapes, no host
+round-trips per tile.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Metric
+from .distance import pairwise_scores
+
+Precision = jax.lax.Precision
+
+
+def _merge_topk(run_d, run_i, new_d, new_i, k):
+    """Merge running top-k with fresh candidates, keeping smallest scores.
+
+    ``lax.top_k`` selects largest, so negate; it is stable w.r.t. position for
+    tied values, which keeps earlier (lower-id) candidates first like the
+    reference's (distance, id) ordering (``neighbor.h:29-31``)."""
+    all_d = jnp.concatenate([run_d, new_d], axis=1)
+    all_i = jnp.concatenate([run_i, new_i], axis=1)
+    neg_top, pos = jax.lax.top_k(-all_d, k)
+    return -neg_top, jnp.take_along_axis(all_i, pos, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "tile", "precision"))
+def knn_tiled(
+    queries: jnp.ndarray,  # [Q, D]
+    base: jnp.ndarray,     # [N, D]  (N padded to a multiple of tile by caller ok)
+    *,
+    k: int,
+    metric: Metric,
+    tile: int = 8192,
+    precision=Precision.HIGHEST,
+):
+    """Exact k-NN of ``queries`` against ``base``: returns
+    (ids ``[Q, k]`` int32, scores ``[Q, k]`` f32, smaller=better).
+
+    ``base`` rows beyond ``n_valid`` (i.e. padding) must be pre-masked by the
+    caller via :func:`knn` below."""
+    n = base.shape[0]
+    num_tiles = (n + tile - 1) // tile
+    padded_n = num_tiles * tile
+    if padded_n != n:
+        pad = jnp.full((padded_n - n, base.shape[1]), jnp.inf, base.dtype)
+        base = jnp.concatenate([base, pad], axis=0)
+    base_tiles = base.reshape(num_tiles, tile, base.shape[1])
+
+    q = queries.shape[0]
+    init_d = jnp.full((q, k), jnp.inf, jnp.float32)
+    init_i = jnp.full((q, k), jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    def step(carry, inp):
+        run_d, run_i = carry
+        tile_idx, tile_vecs = inp
+        scores = pairwise_scores(queries, tile_vecs, metric, precision=precision)
+        # Padding rows contain inf; inf*0 in dots would make nan — mask any
+        # non-finite score to +inf so it never wins.
+        scores = jnp.where(jnp.isfinite(scores), scores, jnp.inf)
+        ids = tile_idx * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (q, tile), 1)
+        return _merge_topk(run_d, run_i, scores, ids, k), None
+
+    (out_d, out_i), _ = jax.lax.scan(
+        step, (init_d, init_i),
+        (jnp.arange(num_tiles, dtype=jnp.int32), base_tiles))
+    return out_i, out_d
+
+
+def knn(
+    queries,
+    base,
+    k: int,
+    metric: Metric | str,
+    *,
+    tile: int = 8192,
+    query_batch: int = 4096,
+    precision=Precision.HIGHEST,
+):
+    """Host-facing exact k-NN: loops query batches on the host (each batch is
+    one jitted TPU sweep over the full base). Returns numpy
+    (ids ``[Q, k]`` uint32, scores ``[Q, k]`` f32).
+
+    This is the drop-in replacement for the DiskANN ``compute_groundtruth``
+    pipeline step (``README.md:69-74``): write its output with
+    :func:`roargraph_tpu.io.save_gt` to get a bit-compatible gt file.
+    """
+    metric = Metric.parse(metric)
+    queries = np.asarray(queries)
+    base_dev = jnp.asarray(base)
+    q = queries.shape[0]
+    out_ids = np.empty((q, k), dtype=np.uint32)
+    out_d = np.empty((q, k), dtype=np.float32)
+    for s in range(0, q, query_batch):
+        e = min(s + query_batch, q)
+        qb = queries[s:e]
+        pad = 0
+        if e - s < query_batch and q > query_batch:
+            pad = query_batch - (e - s)
+            qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
+        ids, d = knn_tiled(jnp.asarray(qb), base_dev, k=k, metric=metric,
+                           tile=tile, precision=precision)
+        ids, d = np.asarray(ids), np.asarray(d)
+        if pad:
+            ids, d = ids[: e - s], d[: e - s]
+        out_ids[s:e] = ids.astype(np.uint32)
+        out_d[s:e] = d
+    return out_ids, out_d

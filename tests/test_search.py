@@ -1,0 +1,108 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from roargraph_tpu.config import Metric, SearchConfig
+from roargraph_tpu.graph import PaddedGraph
+from roargraph_tpu import search as rsearch
+from tests import oracle
+
+
+def _random_graph(rng, n, deg, extra_ep_links=True):
+    """Connected-ish random digraph as adjacency lists."""
+    lists = []
+    for i in range(n):
+        nbrs = rng.choice(np.setdiff1d(np.arange(n), [i]), deg, replace=False)
+        lists.append(nbrs.astype(np.int32))
+    # make node 0 reach everything eventually: chain links
+    for i in range(n - 1):
+        if i + 1 not in lists[i]:
+            lists[i] = np.concatenate([lists[i], [i + 1]]).astype(np.int32)
+    return lists
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+@pytest.mark.parametrize("L", [4, 16])
+def test_beam_search_matches_oracle(rng, metric, L):
+    n, dim, deg = 120, 8, 5
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, deg)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((12, dim)).astype(np.float32)
+    k = min(4, L)
+
+    res = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(g.ep), k=k, L=L, metric=Metric.parse(metric),
+        max_hops=10_000)
+    ids = np.asarray(res.ids)
+    dists = np.asarray(res.dists)
+    cmps = np.asarray(res.cmps)
+    hops = np.asarray(res.hops)
+
+    for qi in range(queries.shape[0]):
+        oids, odists, ocmps, ohops = oracle.beam_search(
+            lists, base, queries[qi], 0, k, L, metric)
+        assert ids[qi].tolist() == oids, f"query {qi}"
+        np.testing.assert_allclose(dists[qi], odists, rtol=1e-4, atol=1e-5)
+        assert cmps[qi] == ocmps
+        assert hops[qi] == ohops
+
+
+def test_beam_search_capture_retset(rng):
+    n, dim, deg = 80, 6, 4
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, deg)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = base[rng.integers(0, n, 6)]  # search for existing nodes
+    self_ids = np.array([-1] * 6, np.int32)
+
+    res = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(g.ep), k=4, L=8, metric=Metric.L2, max_hops=10_000,
+        capture=64)
+    ret_ids = np.asarray(res.ret_ids)
+    hops = np.asarray(res.hops)
+    for qi in range(6):
+        _, _, _, ohops, oret = oracle.beam_search(
+            lists, base, queries[qi], 0, 4, 8, "l2", capture=True)
+        got = [int(x) for x in ret_ids[qi] if x >= 0]
+        assert got == [r[0] for r in oret][:64]
+        assert hops[qi] == ohops
+
+
+def test_beam_search_exclude_self(rng):
+    n, dim = 60, 6
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 4)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    node_ids = np.arange(6, dtype=np.int32) + 10
+    queries = base[node_ids]
+
+    res = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(g.ep), k=4, L=8, metric=Metric.L2, max_hops=10_000,
+        exclude_self=True, self_ids=jnp.asarray(node_ids))
+    ids = np.asarray(res.ids)
+    for qi, node in enumerate(node_ids):
+        oids, _, _, _ = oracle.beam_search(
+            lists, base, queries[qi], 0, 4, 8, "l2", exclude=int(node))
+        assert ids[qi].tolist() == oids
+        # ep==0 is never excluded here, but the node itself must not appear
+        # unless it was the entry point
+        assert int(node) not in ids[qi][ids[qi] != 0].tolist() or node == 0
+
+
+def test_search_host_wrapper_pads_batches(rng):
+    n, dim = 100, 8
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 5)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((23, dim)).astype(np.float32)
+    cfg = SearchConfig(k=3, L_pq=8, metric=Metric.IP, batch_size=10)
+    ids, dists, cmps, hops = rsearch.search(g, base, queries, cfg)
+    assert ids.shape == (23, 3)
+    for qi in range(23):
+        oids, _, _, _ = oracle.beam_search(lists, base, queries[qi], 0, 3, 8,
+                                           "ip")
+        assert ids[qi].tolist() == oids

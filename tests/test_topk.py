@@ -1,0 +1,46 @@
+import numpy as np
+import pytest
+
+from roargraph_tpu.ops import topk
+from tests import oracle
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_knn_matches_oracle(rng, metric):
+    base = rng.standard_normal((1000, 24)).astype(np.float32)
+    queries = rng.standard_normal((50, 24)).astype(np.float32)
+    ids, d = topk.knn(queries, base, k=10, metric=metric, tile=128,
+                      query_batch=16)
+    oid, od = oracle.brute_knn(queries, base, 10, metric)
+    # allow index permutation on near-ties only
+    assert (ids.astype(np.int64) == oid).mean() > 0.999
+    np.testing.assert_allclose(d, od, rtol=1e-4, atol=1e-4)
+
+
+def test_knn_small_n_not_multiple_of_tile(rng):
+    base = rng.standard_normal((77, 8)).astype(np.float32)
+    queries = rng.standard_normal((5, 8)).astype(np.float32)
+    ids, d = topk.knn(queries, base, k=5, metric="ip", tile=32)
+    oid, od = oracle.brute_knn(queries, base, 5, "ip")
+    np.testing.assert_array_equal(ids.astype(np.int64), oid)
+    np.testing.assert_allclose(d, od, rtol=1e-5, atol=1e-5)
+
+
+def test_knn_cosine_on_normalized(rng):
+    base = rng.standard_normal((300, 12)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    q = rng.standard_normal((9, 12)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ids, d = topk.knn(q, base, k=4, metric="cosine", tile=64)
+    oid, od = oracle.brute_knn(q, base, 4, "ip")
+    np.testing.assert_array_equal(ids.astype(np.int64), oid)
+    assert (d >= -1.0001).all() and (d <= 1.0001).all()
+
+
+def test_knn_k_larger_than_tile(rng):
+    base = rng.standard_normal((256, 6)).astype(np.float32)
+    q = rng.standard_normal((3, 6)).astype(np.float32)
+    ids, d = topk.knn(q, base, k=40, metric="l2", tile=32)
+    oid, od = oracle.brute_knn(q, base, 40, "l2")
+    assert (ids.astype(np.int64) == oid).mean() > 0.99
+    np.testing.assert_allclose(d, od, rtol=1e-4, atol=1e-4)
