@@ -1,0 +1,136 @@
+"""Benchmark driver: QPS at recall@10 >= 0.95 on a synthetic t2i-like
+cross-modal workload (200-d, MIPS — the shape of the paper's headline t2i-10M
+protocol, BASELINE.md) comparing the TPU lockstep engine against the C++
+OpenMP CPU engine on the same index.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <tpu qps @ 0.95 recall>, "unit": "qps",
+   "vs_baseline": <tpu_qps / cpu_qps>, ...aux fields}
+
+Environment knobs: BENCH_N (base size), BENCH_TRAIN, BENCH_EVAL, BENCH_SEED,
+BENCH_FRESH=1 to ignore the cached index.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_data(n, n_train, n_eval, d, seed):
+    rng = np.random.default_rng(seed)
+    # base: mixture of clusters (image embeddings); queries: shifted/noisier
+    # distribution (text embeddings) — the cross-modal regime.
+    n_clusters = 64
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 0.8
+    asg = rng.integers(0, n_clusters, n)
+    base = (centers[asg] +
+            rng.standard_normal((n, d)).astype(np.float32) * 0.6)
+    shift = rng.standard_normal((1, d)).astype(np.float32) * 0.4
+    q_asg = rng.integers(0, n_clusters, n_train + n_eval)
+    queries = (centers[q_asg] * 0.85 + shift +
+               rng.standard_normal((n_train + n_eval, d)).astype(np.float32))
+    return base, queries[:n_train], queries[n_train:]
+
+
+def main():
+    t_start = time.time()
+    N = int(os.environ.get("BENCH_N", 100_000))
+    N_TRAIN = int(os.environ.get("BENCH_TRAIN", 50_000))
+    N_EVAL = int(os.environ.get("BENCH_EVAL", 5_000))
+    D = int(os.environ.get("BENCH_D", 200))
+    SEED = int(os.environ.get("BENCH_SEED", 0))
+    K = 10
+    TARGET = 0.95
+
+    import roargraph_tpu as rt
+    from roargraph_tpu import eval as reval
+    from roargraph_tpu import native
+    from roargraph_tpu.build import build_roargraph
+    from roargraph_tpu.ops.topk import knn
+    from roargraph_tpu.search import search
+
+    import jax
+    platform = jax.devices()[0].platform
+    log(f"platform: {platform}, devices: {jax.devices()}")
+
+    base, train_q, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
+    cfg = rt.BuildConfig(metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
+                         prune_batch=1024, search_batch=1024)
+
+    cache = os.path.join("build",
+                         f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")
+    gt_s = build_s = None
+    if os.path.exists(cache) and not os.environ.get("BENCH_FRESH"):
+        graph = rt.PaddedGraph.load_npz(cache)
+        log(f"loaded cached index {cache}")
+    else:
+        t0 = time.time()
+        train_ids, _ = knn(train_q, base, k=cfg.M_sq, metric="ip",
+                           query_batch=8192)
+        gt_s = time.time() - t0
+        log(f"groundtruth: {gt_s:.1f}s for {N_TRAIN}x{N} k={cfg.M_sq}")
+        t0 = time.time()
+        graph, report = build_roargraph(base, train_ids, cfg, verbose=True)
+        build_s = time.time() - t0
+        log(f"build: {build_s:.1f}s  stats={report.stats}")
+        os.makedirs("build", exist_ok=True)
+        graph.save_npz(cache)
+
+    gt_ids, _ = knn(eval_q, base, k=K, metric="ip")
+
+    L_values = [10, 20, 40, 80, 150, 300, 500]
+
+    # --- TPU engine sweep ---
+    def tpu_fn(c):
+        c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
+                             batch_size=int(os.environ.get("BENCH_BATCH",
+                                                           2048)))
+        return search(graph, base, eval_q, c2)
+
+    tpu_rows = reval.sweep(tpu_fn, L_values, gt_ids, k=K,
+                           metric=rt.Metric.IP, n_queries=N_EVAL,
+                           verbose=True)
+    tpu_qps = reval.qps_at_recall(tpu_rows, TARGET)
+    best_recall = max(r["recall"] for r in tpu_rows)
+
+    # --- CPU native baseline sweep (reference-engine semantics) ---
+    cpu_qps = None
+    threads = 0
+    if native.available():
+        threads = native.max_threads()
+
+        def cpu_fn(c):
+            return native.search_native(graph, base, eval_q, c,
+                                        num_threads=threads)
+
+        cpu_rows = reval.sweep(cpu_fn, L_values, gt_ids, k=K,
+                               metric=rt.Metric.IP, n_queries=N_EVAL,
+                               warmup=False, verbose=True)
+        cpu_qps = reval.qps_at_recall(cpu_rows, TARGET)
+
+    value = tpu_qps if tpu_qps is not None else 0.0
+    vs = (value / cpu_qps) if (cpu_qps and value) else None
+    out = {
+        "metric": f"qps@recall{TARGET}_k{K}_synth-t2i-{N//1000}k-d{D}-ip",
+        "value": round(value, 1),
+        "unit": "qps",
+        "vs_baseline": round(vs, 3) if vs else None,
+        "cpu_baseline_qps": round(cpu_qps, 1) if cpu_qps else None,
+        "cpu_threads": threads,
+        "platform": platform,
+        "best_recall": round(best_recall, 4),
+        "gt_s": round(gt_s, 1) if gt_s else None,
+        "build_s": round(build_s, 1) if build_s else None,
+        "total_bench_s": round(time.time() - t_start, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -275,17 +275,33 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     (``SearchProjectionGraphInternal:1279-1350`` +
     ``PruneProjectionBaseSearchCandidates:1846-1940``). The prune defers
     candidates already present in the node's projection list from seeding the
-    result (the reference's first-element skip, ``:1858-1865``)."""
+    result (the reference's first-element skip, ``:1858-1865``).
+
+    **Incrementality is load-bearing**: the reference updates ``supply_nbrs_``
+    and inserts reverse edges *while* the parallel loop runs, so later nodes
+    search a progressively better-connected graph — that is what stitches
+    phase-A fragments into one searchable component. The TPU version keeps
+    that property bulk-synchronously: nodes are processed in batches, and
+    each batch's new out-lists plus reverse appends are scattered into the
+    device-resident adjacency before the next batch searches. Reverse inserts
+    append up to the ``2*M_pjbp`` bound (``SupplyAddReverse:1353``); overflow
+    re-pruning is deferred to the final degree-check pass
+    (``LinkProjection:1224-1248``) instead of happening per arriving edge.
+    """
     N = adj_i.shape[0]
     L = cfg.L_pjpq
     R = L  # bounded expanded-set capture
     B = cfg.search_batch
     M = cfg.M_pjbp
+    W = 2 * M  # supply width bound
 
-    out_i = np.full((N, M), PAD, np.int32)
-    out_d = np.full((N, M), np.inf, np.float32)
+    supply_i = np.full((N, W), PAD, np.int32)
+    supply_d = np.full((N, W), np.inf, np.float32)
+    supply_i[:, : adj_i.shape[1]] = adj_i
+    supply_d[:, : adj_d.shape[1]] = adj_d
+    deg = (supply_i != PAD).sum(axis=1).astype(np.int64)
 
-    adj_dev = jnp.asarray(adj_i)
+    adj_dev = jnp.asarray(supply_i)
     max_hops = 16 * L + 64
 
     for s in range(0, N, B):
@@ -306,36 +322,74 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
         # also drop the node itself if it slipped in as the entry point
         valid &= ret_i != nodes[:, None]
         # defer candidates that are already projection-neighbors of the node
-        defer = np.zeros_like(valid)
-        for b, node in enumerate(nodes):
-            row = proj_i[node]
-            row = row[row != PAD]
-            if row.size:
-                defer[b] = np.isin(ret_i[b], row)
+        # (vectorized membership via composite (node, id) keys)
+        rows = proj_i[nodes]
+        proj_keys = (nodes[:, None].astype(np.int64) * N
+                     + rows.astype(np.int64))[rows != PAD]
+        ret_keys = (nodes[:, None].astype(np.int64) * N
+                    + np.clip(ret_i, 0, None).astype(np.int64))
+        defer = np.isin(ret_keys.ravel(), proj_keys).reshape(ret_i.shape)
         defer &= valid
 
         pi, pd = _prune_rows_device(
             ret_i, ret_d, valid, nodes, base_dev,
             metric=cfg.metric, M=M, backfill=False,
             defer_mask=defer, batch=min(cfg.prune_batch, 256))
-        out_i[s:e] = pi
-        out_d[s:e] = pd
-    return out_i, out_d
+
+        # --- write the batch's new out-lists ---------------------------
+        supply_i[nodes] = PAD
+        supply_d[nodes] = np.inf
+        supply_i[nodes, :M] = pi
+        supply_d[nodes, :M] = pd
+        deg[nodes] = (pi != PAD).sum(axis=1)
+
+        # --- reverse appends (u -> v gives v -> u), bound 2*M ----------
+        src = np.repeat(nodes.astype(np.int64), M)
+        dst = pi.ravel().astype(np.int64)
+        dval = pd.ravel()
+        ok = dst >= 0
+        src, dst, dval = src[ok], dst[ok], dval[ok]
+        # skip pairs already present in the destination rows
+        dst_rows = supply_i[dst]
+        already = (dst_rows == src[:, None].astype(np.int32)).any(axis=1)
+        src, dst, dval = src[~already], dst[~already], dval[~already]
+        order = np.lexsort((src, dst))
+        sdst, ssrc, sd = dst[order], src[order], dval[order]
+        rank = _group_ranks(sdst)
+        pos = deg[sdst] + rank
+        fit = pos < W
+        supply_i[sdst[fit], pos[fit]] = ssrc[fit].astype(np.int32)
+        supply_d[sdst[fit], pos[fit]] = sd[fit]
+        np.add.at(deg, sdst[fit], 1)
+
+        # --- scatter changed rows into the device adjacency ------------
+        changed = np.unique(np.concatenate([nodes.astype(np.int64), sdst]))
+        adj_dev = adj_dev.at[jnp.asarray(changed)].set(
+            jnp.asarray(supply_i[changed]))
+    return supply_i, supply_d
 
 
 def _merge_supply(proj_i: np.ndarray, supply_i: np.ndarray, M_pjbp: int):
     """Append up to ``2*M_pjbp`` supply neighbors not already present to each
     projection list (``src/index_bipartite.cpp:1251-1269``)."""
-    N = proj_i.shape[0]
-    width = proj_i.shape[1] + 2 * M_pjbp
+    N, Wp = proj_i.shape
+    Ws = supply_i.shape[1]
+    width = Wp + 2 * M_pjbp
     out = np.full((N, width), PAD, np.int32)
-    out[:, : proj_i.shape[1]] = proj_i
-    deg = (proj_i != PAD).sum(axis=1)
-    for i in range(N):
-        row = proj_i[i][proj_i[i] != PAD]
-        sup = supply_i[i][supply_i[i] != PAD]
-        novel = sup[~np.isin(sup, row)][: 2 * M_pjbp]
-        out[i, deg[i]: deg[i] + novel.size] = novel
+    out[:, :Wp] = proj_i
+    deg = (proj_i != PAD).sum(axis=1).astype(np.int64)
+
+    row_ids = np.arange(N, dtype=np.int64)
+    proj_keys = (row_ids[:, None] * N + proj_i.astype(np.int64))[proj_i != PAD]
+    sup_valid = supply_i != PAD
+    sup_keys = row_ids[:, None] * N + np.clip(supply_i, 0, None).astype(np.int64)
+    novel = sup_valid & ~np.isin(sup_keys.ravel(), proj_keys).reshape(
+        supply_i.shape)
+    rank = np.cumsum(novel, axis=1) - 1
+    keep = novel & (rank < 2 * M_pjbp)
+    r_idx = np.broadcast_to(row_ids[:, None], (N, Ws))[keep]
+    pos = (deg[:, None] + rank)[keep]
+    out[r_idx, pos] = supply_i[keep]
     max_deg = int((out != PAD).sum(axis=1).max()) if N else 0
     return out[:, :max(max_deg, 1)]
 
@@ -380,16 +434,11 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
     if verbose:
         print(f"projection time: {t1 - t0:.2f}s")
 
-    # ---- Phase B: connectivity augmentation ---------------------------
+    # ---- Phase B: connectivity augmentation (incremental; reverse
+    # inserts bounded at 2*M happen inside, ``SupplyAddReverse:1353``) ----
     supply_i, supply_d = _phase_b_search_prune(
         adj_i, adj_d, base_dev, cfg, ep, adj_i)
-    # reverse insertion with bound 2*M (``SupplyAddReverse:1353``); overflow
-    # re-prunes to M without backfill (``PruneProjectionInternalReverse…``)
-    supply_i, supply_d = _reverse_round(
-        supply_i, supply_d, base_dev, metric=cfg.metric, cap=2 * cfg.M_pjbp,
-        prune_M=cfg.M_pjbp, prune_backfill=False, out_width=2 * cfg.M_pjbp,
-        batch=cfg.prune_batch)
-    # final degree check: any node still above M is re-pruned to M
+    # final degree check: any node above M is re-pruned to M
     # (``LinkProjection:1224-1248``)
     over = np.flatnonzero((supply_i != PAD).sum(axis=1) > cfg.M_pjbp)
     if over.size:

@@ -1,0 +1,73 @@
+"""Search/eval driver — flag-compatible with the reference's
+``test_search_roargraph`` (``tests/test_search_roargraph.cpp:79-106``)::
+
+    python -m roargraph_tpu.cli.search --data_type float --dist ip \
+        --base_data_path base.fbin --query_path query.fbin \
+        --gt_path gt.bin --projection_index_save_path t2i.index \
+        --L_pq 10 20 50 100 --k 10 -T 16 \
+        --evaluation_save_path eval.csv
+
+``--engine tpu`` (default) runs the lockstep batched engine;
+``--engine cpu`` runs the native C++ OpenMP engine on the same index.
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .. import io as rio
+from ..config import Metric, SearchConfig
+from ..graph import PaddedGraph
+from .. import eval as reval
+from .. import search as rsearch
+from .common import add_common, load_vectors
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common(p)
+    p.add_argument("--base_data_path", required=True)
+    p.add_argument("--query_path", required=True)
+    p.add_argument("--gt_path", required=True)
+    p.add_argument("--projection_index_save_path", required=True)
+    p.add_argument("--L_pq", type=int, nargs="+", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--evaluation_save_path", default="")
+    p.add_argument("--engine", choices=["tpu", "cpu"], default="tpu")
+    p.add_argument("--batch_size", type=int, default=2048)
+    args = p.parse_args(argv)
+
+    metric = Metric.parse(args.dist)
+    base = load_vectors(args.base_data_path, metric)
+    queries = load_vectors(args.query_path, metric)
+    gt_ids, gt_dists = rio.load_gt(args.gt_path)
+    graph = (PaddedGraph.load_npz(args.projection_index_save_path)
+             if args.projection_index_save_path.endswith(".npz")
+             else PaddedGraph.load_reference(args.projection_index_save_path))
+    print(f"base {base.shape}, queries {queries.shape}, "
+          f"graph ep={graph.ep} max_deg={graph.max_degree}")
+
+    for L in args.L_pq:
+        if args.k > L:
+            raise SystemExit("L_pq must greater or equal than k")
+
+    if args.engine == "cpu":
+        from .. import native
+
+        def fn(cfg: SearchConfig):
+            return native.search_native(graph, base, queries, cfg,
+                                        num_threads=args.num_threads)
+    else:
+        def fn(cfg: SearchConfig):
+            cfg = SearchConfig(k=cfg.k, L_pq=cfg.L_pq, metric=cfg.metric,
+                               batch_size=args.batch_size)
+            return rsearch.search(graph, base, queries, cfg)
+
+    reval.sweep(fn, args.L_pq, np.asarray(gt_ids), k=args.k, metric=metric,
+                n_queries=queries.shape[0], gt_dists=np.asarray(gt_dists),
+                csv_path=args.evaluation_save_path or None, verbose=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Multi-chip scale-out over a ``jax.sharding.Mesh`` (SURVEY.md §5.8).
+
+The reference is single-node shared-memory only (§2.3: OpenMP + mutexes; no
+collectives of any kind). The TPU-native scale-out design:
+
+- **Base/graph sharding ("shard" axis)**: the base set is partitioned into
+  contiguous shards; each device owns one shard's vectors and a RoarGraph
+  built over that shard. A query searches every shard's sub-graph locally
+  (pure ICI-free compute) and the per-shard top-k are merged into a global
+  top-k with one ``all_gather`` over the shard axis — the TPU analog of the
+  reference's "scale N only by RAM on one box".
+- **Query data-parallel ("dp" axis)**: the query batch is split across the dp
+  axis — the analog of the reference's OpenMP query loop
+  (``tests/test_search_roargraph.cpp:203``).
+- **Sharded groundtruth**: exact k-NN with the base sharded; each device
+  scans its shard, then one gather+top_k merge. Replaces the "can take hours"
+  single-host MKL step (``README.md:69-75``) with near-linear scaling.
+
+Everything below is pure SPMD: ``shard_map`` + XLA collectives, no host
+round-trips inside a step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import BuildConfig, Metric, SearchConfig
+from ..graph import PAD, PaddedGraph
+from ..ops.distance import pairwise_scores
+from ..search import BIG, beam_search_batch
+
+
+def make_mesh(n_shard: int, n_dp: int = 1,
+              devices: Sequence | None = None) -> Mesh:
+    devs = np.array(devices if devices is not None
+                    else jax.devices()[: n_shard * n_dp])
+    if devs.size < n_shard * n_dp:
+        raise ValueError(
+            f"need {n_shard * n_dp} devices, have {devs.size}")
+    return Mesh(devs[: n_shard * n_dp].reshape(n_dp, n_shard),
+                ("dp", "shard"))
+
+
+# ---------------------------------------------------------------------------
+# Sharded index container
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ShardedRoarGraph:
+    """S per-shard sub-graphs over a contiguous partition of the base set.
+
+    Stacked layout (leading shard axis, equal padded shard sizes):
+      adj   [S, N_s, W] int32 local-id adjacency
+      base  [S, N_s, D] vectors (zero rows beyond shard_sizes)
+      eps   [S] int32 local entry points
+      offsets [S] int32 global id of each shard's first row
+    """
+    adj: np.ndarray
+    base: np.ndarray
+    eps: np.ndarray
+    offsets: np.ndarray
+    shard_sizes: np.ndarray
+
+    @property
+    def num_shards(self) -> int:
+        return self.adj.shape[0]
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(path, adj=self.adj, base=self.base, eps=self.eps,
+                            offsets=self.offsets, shard_sizes=self.shard_sizes)
+
+    @staticmethod
+    def load_npz(path: str) -> "ShardedRoarGraph":
+        with np.load(path) as z:
+            return ShardedRoarGraph(z["adj"], z["base"], z["eps"],
+                                    z["offsets"], z["shard_sizes"])
+
+
+def build_sharded(base, train_knn_fn, cfg: BuildConfig, n_shards: int,
+                  *, verbose: bool = False) -> ShardedRoarGraph:
+    """Partition the base set and build one RoarGraph per shard.
+
+    ``train_knn_fn(shard_base) -> [Nq, M_sq]`` computes the training-query NN
+    lists against one shard (callers close over the training queries)."""
+    from ..build import build_roargraph
+
+    base = np.asarray(base)
+    N, D = base.shape
+    n_s = (N + n_shards - 1) // n_shards
+    adjs, bases, eps, offs, sizes = [], [], [], [], []
+    width = 0
+    for s in range(n_shards):
+        lo, hi = s * n_s, min((s + 1) * n_s, N)
+        shard = base[lo:hi]
+        knn_ids = train_knn_fn(shard)
+        g, _ = build_roargraph(shard, knn_ids, cfg, verbose=verbose)
+        adjs.append(g.ids)
+        width = max(width, g.ids.shape[1])
+        if shard.shape[0] < n_s:
+            shard = np.concatenate(
+                [shard, np.zeros((n_s - shard.shape[0], D), shard.dtype)])
+        bases.append(shard)
+        eps.append(g.ep)
+        offs.append(lo)
+        sizes.append(hi - lo)
+    adj = np.full((n_shards, n_s, width), PAD, np.int32)
+    for s, a in enumerate(adjs):
+        adj[s, : a.shape[0], : a.shape[1]] = a
+    return ShardedRoarGraph(adj=adj, base=np.stack(bases),
+                            eps=np.array(eps, np.int32),
+                            offsets=np.array(offs, np.int32),
+                            shard_sizes=np.array(sizes, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Sharded search
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "L", "metric", "max_hops", "mesh_name"))
+def _noop(*a, **k):  # pragma: no cover
+    raise RuntimeError
+
+
+def sharded_search_step(mesh: Mesh, *, k: int, L: int, metric: Metric,
+                        max_hops: int):
+    """Build the jitted SPMD search step for a given mesh/config.
+
+    Returned fn: (adj [S,N_s,W], base [S,N_s,D], eps [S], offsets [S],
+    queries [B,D]) -> (ids [B,k] global, dists [B,k]); B must divide by dp.
+    """
+
+    def local(adj, base, eps, offsets, queries):
+        # one shard's block: leading axis length 1 under shard_map
+        res = beam_search_batch(
+            adj[0], base[0], queries, eps[0],
+            k=k, L=L, metric=metric, max_hops=max_hops)
+        gids = jnp.where(res.ids >= 0, res.ids + offsets[0], jnp.int32(BIG))
+        gd = jnp.where(res.ids >= 0, res.dists, jnp.inf)
+        # global top-k merge across the shard axis (rides ICI)
+        all_i = jax.lax.all_gather(gids, "shard")   # [S, B, k]
+        all_d = jax.lax.all_gather(gd, "shard")
+        Bq = queries.shape[0]
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(Bq, -1)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(Bq, -1)
+        sd, si = jax.lax.sort((all_d, all_i), num_keys=2)
+        out_i = jnp.where(si[:, :k] == BIG, -1, si[:, :k])
+        return out_i, sd[:, :k]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P("shard"), P("shard"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_search(index: ShardedRoarGraph, queries, cfg: SearchConfig,
+                   mesh: Mesh | None = None):
+    """Host wrapper: place arrays on the mesh and run the SPMD step."""
+    S = index.num_shards
+    if mesh is None:
+        mesh = make_mesh(S, 1)
+    dp = mesh.shape["dp"]
+    queries = np.asarray(queries)
+    Q = queries.shape[0]
+    pad = (-Q) % dp
+    if pad:
+        queries = np.concatenate(
+            [queries, np.zeros((pad, queries.shape[1]), queries.dtype)])
+    step = sharded_search_step(mesh, k=cfg.k, L=cfg.L_pq, metric=cfg.metric,
+                               max_hops=cfg.effective_max_hops)
+    ids, dists = step(jnp.asarray(index.adj), jnp.asarray(index.base),
+                      jnp.asarray(index.eps), jnp.asarray(index.offsets),
+                      jnp.asarray(queries))
+    ids, dists = np.asarray(ids), np.asarray(dists)
+    return ids[:Q], dists[:Q]
+
+
+# ---------------------------------------------------------------------------
+# Sharded groundtruth (base-sharded exact k-NN)
+# ---------------------------------------------------------------------------
+
+def sharded_knn_step(mesh: Mesh, *, k: int, metric: Metric, tile: int = 2048):
+    """SPMD exact k-NN: base sharded over 'shard', queries over 'dp'."""
+    from ..ops.topk import knn_tiled
+
+    def local(queries, base, offsets, sizes):
+        ids, d = knn_tiled(queries, base[0], k=k, metric=metric, tile=tile)
+        valid = ids < sizes[0]
+        gids = jnp.where(valid, ids + offsets[0], jnp.int32(BIG))
+        gd = jnp.where(valid, d, jnp.inf)
+        all_i = jax.lax.all_gather(gids, "shard")
+        all_d = jax.lax.all_gather(gd, "shard")
+        Bq = queries.shape[0]
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(Bq, -1)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(Bq, -1)
+        sd, si = jax.lax.sort((all_d, all_i), num_keys=2)
+        return si[:, :k], sd[:, :k]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp"), P("shard"), P("shard"), P("shard")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_knn(queries, base, k: int, metric, mesh: Mesh | None = None,
+                tile: int = 2048):
+    """Exact k-NN with the base set sharded across devices."""
+    metric = Metric.parse(metric)
+    base = np.asarray(base)
+    queries = np.asarray(queries)
+    if mesh is None:
+        mesh = make_mesh(len(jax.devices()), 1)
+    S = mesh.shape["shard"]
+    dp = mesh.shape["dp"]
+    N, D = base.shape
+    n_s = (N + S - 1) // S
+    sizes = np.array([min(n_s, N - s * n_s) for s in range(S)], np.int32)
+    offsets = np.arange(S, dtype=np.int32) * n_s
+    padded = np.zeros((S, n_s, D), base.dtype)
+    for s in range(S):
+        padded[s, : sizes[s]] = base[s * n_s: s * n_s + sizes[s]]
+    Q = queries.shape[0]
+    pad = (-Q) % dp
+    if pad:
+        queries = np.concatenate(
+            [queries, np.zeros((pad, D), queries.dtype)])
+    step = sharded_knn_step(mesh, k=k, metric=metric, tile=tile)
+    ids, d = step(jnp.asarray(queries), jnp.asarray(padded),
+                  jnp.asarray(offsets), jnp.asarray(sizes))
+    return np.asarray(ids)[:Q], np.asarray(d)[:Q]

@@ -1,0 +1,128 @@
+"""Evaluation harness: recall@k, relative distance error, QPS/latency sweep.
+
+Mirrors the reference drivers' protocol
+(``tests/test_search_roargraph.cpp:190-236``):
+
+- recall@k = |returned ∩ gt[:k]| / k averaged over queries (``:23-36``);
+- rderr: metric-corrected relative distance error vs gt distances
+  (``:38-62`` — IP scores are negated back, cosine mapped to ``2*(1-ip)``);
+- per-L_pq row: ``L_pq, QPS, avg_cmps, mean_latency_ms, recall@k, avg_hops``
+  printed and optionally appended to a CSV (``:231-236``);
+- timing wall-clocks the whole query set after a warmup pass (``:197-213``).
+"""
+from __future__ import annotations
+
+import csv
+import time
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+
+from .config import Metric, SearchConfig
+from .graph import PaddedGraph
+from . import search as rsearch
+
+
+def recall_at_k(res_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> float:
+    """Average id-set intersection with the first k gt ids per query."""
+    total = 0
+    for r, g in zip(res_ids[:, :k], gt_ids[:, :k]):
+        total += len(set(int(x) for x in r) & set(int(x) for x in g))
+    return total / (k * res_ids.shape[0])
+
+
+def rderr(res_dists: np.ndarray, gt_dists: np.ndarray, k: int,
+          metric: Metric) -> float:
+    """Mean relative distance error, sign-corrected per metric
+    (``tests/test_search_bipartite.cpp:39-62``)."""
+    r = np.asarray(res_dists[:, :k], np.float64)
+    g = np.asarray(gt_dists[:, :k], np.float64)
+    if metric is Metric.IP:
+        r = -r
+    elif metric is Metric.COSINE:
+        r = 2.0 * (1.0 - (-r))
+    err = np.abs(r - g) / np.abs(g)
+    return float(err.mean())
+
+
+def sweep(
+    search_fn: Callable[[SearchConfig], tuple],
+    L_values: Sequence[int],
+    gt_ids: np.ndarray,
+    *,
+    k: int,
+    metric: Metric,
+    n_queries: int,
+    gt_dists: np.ndarray | None = None,
+    warmup: bool = True,
+    csv_path: str | None = None,
+    verbose: bool = True,
+) -> list:
+    """Run the L_pq sweep. ``search_fn(cfg)`` must return
+    (ids, dists, cmps, hops) for the full query set.
+
+    Returns a list of row dicts; optionally writes the reference's CSV."""
+    rows = []
+    if verbose:
+        print("L_pq\tQPS\tavg_visited\tmean_latency\trecall@%d\tavg_hops" % k)
+    for L in L_values:
+        cfg = SearchConfig(k=k, L_pq=int(L), metric=metric)
+        if warmup:
+            search_fn(cfg)  # compile + warm caches (parity: ``:198-200``)
+        t0 = time.perf_counter()
+        ids, dists, cmps, hops = search_fn(cfg)
+        dt = time.perf_counter() - t0
+        qps = n_queries / dt
+        rec = recall_at_k(ids, gt_ids, k)
+        row = {
+            "L_pq": int(L),
+            "qps": qps,
+            "avg_cmps": float(np.mean(cmps)),
+            "mean_latency_ms": dt * 1000.0 / n_queries,
+            "recall": rec,
+            "avg_hops": float(np.mean(hops)),
+        }
+        if gt_dists is not None:
+            row["rderr"] = rderr(dists, gt_dists, k, metric)
+        rows.append(row)
+        if verbose:
+            print(f"{L}\t{qps:.1f}\t{row['avg_cmps']:.1f}\t"
+                  f"{row['mean_latency_ms']:.3f}\t{rec:.4f}\t"
+                  f"{row['avg_hops']:.1f}")
+    if csv_path:
+        with open(csv_path, "w", newline="") as f:
+            w = csv.writer(f)
+            for row in rows:
+                cols = [row["L_pq"], row["qps"], row["avg_cmps"],
+                        row["mean_latency_ms"], row["recall"]]
+                if "rderr" in row:
+                    cols.append(row["rderr"])
+                cols.append(row["avg_hops"])
+                w.writerow(cols)
+    return rows
+
+
+def qps_at_recall(rows: Iterable[dict], target: float) -> float | None:
+    """Best QPS among sweep rows meeting the recall target (the paper's
+    headline operating point, e.g. recall@10 = 0.95)."""
+    best = None
+    for row in rows:
+        if row["recall"] >= target and (best is None or row["qps"] > best):
+            best = row["qps"]
+    return best
+
+
+def sweep_roargraph(graph: PaddedGraph, base, queries, gt_ids, L_values, *,
+                    k: int = 10, metric=Metric.IP, batch_size: int = 1024,
+                    gt_dists=None, csv_path=None, verbose=True):
+    """Convenience sweep over the projection-graph engine."""
+    queries = np.asarray(queries)
+
+    def fn(cfg: SearchConfig):
+        cfg = SearchConfig(k=cfg.k, L_pq=cfg.L_pq, metric=cfg.metric,
+                           batch_size=batch_size)
+        return rsearch.search(graph, base, queries, cfg)
+
+    return sweep(fn, L_values, np.asarray(gt_ids), k=k,
+                 metric=Metric.parse(metric), n_queries=queries.shape[0],
+                 gt_dists=gt_dists, csv_path=csv_path, verbose=verbose)

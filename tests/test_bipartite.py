@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+import roargraph_tpu as rt
+from roargraph_tpu.bipartite import (BipartiteIndex, build_bipartite,
+                                     search_bipartite)
+from roargraph_tpu.graph import PAD
+from roargraph_tpu.ops.topk import knn
+from roargraph_tpu import eval as reval
+from tests.conftest import make_crossmodal
+
+
+@pytest.fixture(scope="module")
+def bip():
+    rng = np.random.default_rng(3)
+    base, train_q = make_crossmodal(rng, n_base=800, n_query=600, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=150, dim=16)[1]
+    train_ids, _ = knn(train_q, base, k=20, metric="ip")
+    index = build_bipartite(800, train_ids, M_pjbp=12, base_width=16)
+    return base, train_ids, eval_q, index
+
+
+def test_build_structure(bip):
+    base, train_ids, _, index = bip
+    # query node q's out-list = its NN list minus the head
+    for q in (0, 5, 99):
+        head = train_ids[q, 0]
+        expect = [int(x) for x in train_ids[q, :12] if x != head]
+        got = index.query_adj[q][index.query_adj[q] != PAD].tolist()
+        assert got == expect
+    # head nodes received reverse edges in query-id order
+    heads = train_ids[:, 0].astype(np.int64)
+    some_head = int(heads[0])
+    expect_rev = np.flatnonzero(heads == some_head)[:16].tolist()
+    got_rev = index.base_adj[some_head][
+        index.base_adj[some_head] != PAD].tolist()
+    assert got_rev == expect_rev
+
+
+def test_reference_format_roundtrip(bip, tmp_path):
+    base, _, _, index = bip
+    p = str(tmp_path / "b.index")
+    index.save_reference(p)
+    loaded = BipartiteIndex.load_reference(p, nd=index.nd,
+                                           base_width=index.base_adj.shape[1])
+    np.testing.assert_array_equal(index.base_adj, loaded.base_adj)
+    np.testing.assert_array_equal(index.query_adj, loaded.query_adj)
+
+
+def test_two_hop_search_recall(bip):
+    base, _, eval_q, index = bip
+    gt_ids, _ = knn(eval_q, base, k=10, metric="ip")
+    cfg = rt.SearchConfig(k=10, L_pq=60, metric="ip", batch_size=150)
+    ids, dists, cmps, hops = search_bipartite(index, base, eval_q, cfg,
+                                              seed=1)
+    rec = reval.recall_at_k(ids, gt_ids, 10)
+    assert rec > 0.6, rec
+    assert (cmps > 0).all() and (hops > 0).all()
+    # results sorted by score
+    assert (np.diff(dists, axis=1) >= -1e-6).all()
+
+
+def test_search_deterministic_given_seed(bip):
+    base, _, eval_q, index = bip
+    cfg = rt.SearchConfig(k=5, L_pq=30, metric="ip", batch_size=150)
+    a = search_bipartite(index, base, eval_q, cfg, seed=7)[0]
+    b = search_bipartite(index, base, eval_q, cfg, seed=7)[0]
+    np.testing.assert_array_equal(a, b)

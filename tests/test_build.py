@@ -1,0 +1,89 @@
+"""End-to-end build + search slice (SURVEY.md §7.3) and build-unit checks."""
+import numpy as np
+import pytest
+
+import roargraph_tpu as rt
+from roargraph_tpu.build import build_roargraph, compute_medoid
+from roargraph_tpu.graph import PAD
+from roargraph_tpu.ops.topk import knn
+from roargraph_tpu.search import search
+from roargraph_tpu import eval as reval
+from tests import oracle
+from tests.conftest import make_crossmodal
+
+CFG = rt.BuildConfig(metric="ip", M_sq=30, M_pjbp=8, L_pjpq=40,
+                     prune_batch=512, search_batch=256)
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    base, train_q = make_crossmodal(rng, n_base=1200, n_query=800, dim=24)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=200, dim=24)[1]
+    train_ids, _ = knn(train_q, base, k=CFG.M_sq, metric="ip")
+    graph, report = build_roargraph(base, train_ids, CFG)
+    return base, train_q, eval_q, graph, report
+
+
+def test_medoid_matches_numpy(rng):
+    base = rng.standard_normal((500, 12)).astype(np.float32)
+    center = base.mean(axis=0)
+    expect = int(np.argmin(((base - center) ** 2).sum(axis=1)))
+    assert compute_medoid(base) == expect
+
+
+def test_build_degree_bounds(built):
+    base, _, _, graph, report = built
+    degs = graph.degrees()
+    # final projection degree <= 3*M (M from phase A + 2M merged supply)
+    assert degs.max() <= 3 * CFG.M_pjbp
+    assert degs.min() >= 1  # phase B connects every node
+    assert report.stats["isolated"] == 0
+    assert report.projection_s > 0 and report.connectivity_s > 0
+
+
+def test_build_rows_unique_and_no_self(built):
+    base, _, _, graph, _ = built
+    for i, row in enumerate(graph.ids):
+        row = row[row != PAD]
+        assert len(set(row.tolist())) == len(row)
+        assert i not in row.tolist()
+
+
+def test_recall_monotonic_and_high(built):
+    base, _, eval_q, graph, _ = built
+    gt_ids, gt_d = knn(eval_q, base, k=10, metric="ip")
+    recalls = []
+    for L in (10, 40, 120):
+        cfg = rt.SearchConfig(k=10, L_pq=L, metric="ip", batch_size=200)
+        ids, d, cmps, hops = search(graph, base, eval_q, cfg)
+        recalls.append(reval.recall_at_k(ids, gt_ids, 10))
+    # property test: recall grows with beam width (SURVEY.md §4)
+    assert recalls[0] <= recalls[1] + 0.02
+    assert recalls[1] <= recalls[2] + 0.02
+    assert recalls[2] > 0.85, recalls
+
+
+def test_search_matches_oracle_on_built_graph(built):
+    """The jitted engine must equal the sequential oracle on the real built
+    graph, not just random graphs."""
+    base, _, eval_q, graph, _ = built
+    lists = [row[row != PAD].tolist() for row in graph.ids]
+    cfg = rt.SearchConfig(k=5, L_pq=16, metric="ip", batch_size=8)
+    ids, dists, cmps, hops = search(graph, base, eval_q[:8], cfg)
+    for qi in range(8):
+        oids, odists, ocmps, ohops = oracle.beam_search(
+            lists, base, eval_q[qi], graph.ep, 5, 16, "ip")
+        assert ids[qi].tolist() == oids
+        assert cmps[qi] == ocmps and hops[qi] == ohops
+
+
+def test_index_roundtrip_preserves_search(built, tmp_path):
+    base, _, eval_q, graph, _ = built
+    p = str(tmp_path / "g.index")
+    graph.save_reference(p)
+    g2 = rt.PaddedGraph.load_reference(p)
+    cfg = rt.SearchConfig(k=10, L_pq=30, metric="ip", batch_size=100)
+    ids1, _, _, _ = search(graph, base, eval_q[:100], cfg)
+    ids2, _, _, _ = search(g2, base, eval_q[:100], cfg)
+    np.testing.assert_array_equal(ids1, ids2)

@@ -1,0 +1,65 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+import jax
+
+import roargraph_tpu as rt
+from roargraph_tpu.dist import (build_sharded, make_mesh, sharded_knn,
+                                sharded_search)
+from roargraph_tpu.ops.topk import knn
+from roargraph_tpu import eval as reval
+from tests.conftest import make_crossmodal
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def test_sharded_knn_matches_single_device(rng):
+    base = rng.standard_normal((500, 16)).astype(np.float32)
+    q = rng.standard_normal((40, 16)).astype(np.float32)
+    mesh = make_mesh(4, 2)
+    ids, d = sharded_knn(q, base, k=10, metric="ip", mesh=mesh, tile=64)
+    ref_ids, ref_d = knn(q, base, k=10, metric="ip")
+    np.testing.assert_array_equal(ids, ref_ids.astype(np.int64))
+    np.testing.assert_allclose(d, ref_d, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_search_recall(rng):
+    base, train_q = make_crossmodal(rng, n_base=900, n_query=700, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=64, dim=16)[1]
+    cfg = rt.BuildConfig(metric="ip", M_sq=20, M_pjbp=6, L_pjpq=30,
+                         prune_batch=256, search_batch=128)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=4)
+    mesh = make_mesh(4, 2)
+    scfg = rt.SearchConfig(k=10, L_pq=40, metric="ip")
+    ids, dists = sharded_search(index, eval_q, scfg, mesh=mesh)
+
+    gt_ids, _ = knn(eval_q, base, k=10, metric="ip")
+    rec = reval.recall_at_k(ids, gt_ids, 10)
+    # each shard is searched exhaustively-ish at this scale; the merged
+    # global top-k should be strong
+    assert rec > 0.8, rec
+    assert (np.diff(dists, axis=1) >= -1e-6).all()
+
+
+def test_sharded_search_global_ids_valid(rng):
+    base, train_q = make_crossmodal(rng, n_base=300, n_query=200, dim=8)
+    cfg = rt.BuildConfig(metric="l2", M_sq=10, M_pjbp=4, L_pjpq=16,
+                         prune_batch=128, search_batch=64)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="l2")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=2)
+    mesh = make_mesh(2, 1)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=16, dim=8)[1]
+    ids, _ = sharded_search(index, eval_q,
+                            rt.SearchConfig(k=5, L_pq=16, metric="l2"),
+                            mesh=mesh)
+    assert (ids >= 0).all() and (ids < 300).all()
+    # results from both shards appear
+    assert (ids < 150).any() and (ids >= 150).any()
