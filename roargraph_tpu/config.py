@@ -108,6 +108,11 @@ class SearchConfig:
     # Safety bound on the while_loop (reference loops until queue exhaustion,
     # ``src/index_bipartite.cpp:2356``; expansions are bounded in practice).
     max_hops: int | None = None
+    # Perf knobs for the TPU engine (semantics documented on
+    # ``search.beam_search_batch``): fresh-neighbor gather chunk and number
+    # of frontier nodes expanded per lockstep step.
+    gather_chunk: int = 32
+    expand_width: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "metric", Metric.parse(self.metric))

@@ -71,7 +71,8 @@ def _merge_sorted(cand_d, cand_i, cand_e, new_d, new_i, L):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "L", "metric", "max_hops", "capture", "exclude_self"),
+    static_argnames=("k", "L", "metric", "max_hops", "capture", "exclude_self",
+                     "gather_chunk", "expand_width"),
 )
 def beam_search_batch(
     adj: jnp.ndarray,       # [N, Mx] int32 padded adjacency
@@ -87,10 +88,23 @@ def beam_search_batch(
     exclude_self: bool = False,
     self_ids: jnp.ndarray | None = None,  # [B] — skipped like ``nbr == tgt``
                                           # in ``SearchProjectionGraphInternal:1328``
+    gather_chunk: int = 32,  # fresh-neighbor gather chunk (perf knob; 0 = off)
+    expand_width: int = 1,   # frontier nodes expanded per step. 1 = strict
+                             # best-first (reference parity). >1 trades exact
+                             # expansion order for ~E x fewer loop steps —
+                             # per-query work rises slightly (a node that a
+                             # strictly-serial search would never expand can
+                             # be expanded), recall at a given L is unchanged
+                             # or better; cmps/hops then diverge from the
+                             # reference accounting.
 ) -> SearchResult:
+    if expand_width > 1 and capture:
+        raise ValueError("capture requires expand_width=1 (exact expansion "
+                         "order is part of the build semantics)")
     N, Mx = adj.shape
     B = queries.shape[0]
     W = (N + 31) // 32
+    E = expand_width
 
     if self_ids is None:
         self_ids = jnp.full((B,), -1, jnp.int32)
@@ -114,7 +128,8 @@ def beam_search_batch(
     ret_i = jnp.full((B, R), -1, jnp.int32)
     ret_d = jnp.full((B, R), jnp.inf, jnp.float32)
 
-    b_rows = jax.lax.broadcasted_iota(jnp.int32, (B, Mx), 0)
+    EM = E * Mx
+    b_rows = jax.lax.broadcasted_iota(jnp.int32, (B, EM), 0)
 
     def cond(state):
         cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, it = state
@@ -126,15 +141,38 @@ def beam_search_batch(
 
         unexp = (cand_e == 0) & (cand_i != BIG)
         active = jnp.any(unexp, axis=1)
-        j = jnp.argmax(unexp, axis=1)                       # first unexpanded
-        frontier = cand_i[jnp.arange(B), j]                 # [B]
-        frontier_d = cand_d[jnp.arange(B), j]
-        cand_e = cand_e.at[jnp.arange(B), j].set(
-            jnp.where(active, 1, cand_e[jnp.arange(B), j]))
+        if E == 1:
+            j = jnp.argmax(unexp, axis=1)                   # first unexpanded
+            jj = j[:, None]                                  # [B, 1]
+            picked = active[:, None]
+        else:
+            # first E unexpanded positions, best-first (queue is sorted)
+            jj = jnp.argsort(jnp.where(unexp, 0, 1), axis=1,
+                             stable=True)[:, :E]             # [B, E]
+            picked = jnp.take_along_axis(unexp, jj, axis=1)  # [B, E]
+        frontier = jnp.where(picked,
+                             jnp.take_along_axis(cand_i, jj, axis=1), BIG)
+        frontier_d = jnp.take_along_axis(cand_d, jj, axis=1)
+        b_e = jax.lax.broadcasted_iota(jnp.int32, jj.shape, 0)
+        cand_e = cand_e.at[b_e, jj].set(
+            jnp.where(picked, 1, jnp.take_along_axis(cand_e, jj, axis=1)))
 
         f_safe = jnp.clip(frontier, 0, N - 1)
-        nbrs = adj[f_safe]                                   # [B, Mx]
-        valid = (nbrs != PAD) & active[:, None]
+        nbrs = adj[f_safe].reshape(B, EM)                    # [B, E*Mx]
+        valid = (nbrs != PAD) & jnp.repeat(picked, Mx, axis=1)
+        if E > 1:
+            # the same node can neighbor several expanded frontiers; keep the
+            # first occurrence per row so the visited add-scatter stays
+            # single-writer per bit
+            ordr = jnp.argsort(jnp.where(valid, nbrs, BIG), axis=1)
+            s_ids = jnp.take_along_axis(nbrs, ordr, axis=1)
+            s_val = jnp.take_along_axis(valid, ordr, axis=1)
+            first = jnp.concatenate(
+                [jnp.ones((B, 1), bool), s_ids[:, 1:] != s_ids[:, :-1]],
+                axis=1)
+            s_val = s_val & first
+            valid = jnp.take_along_axis(s_val, jnp.argsort(ordr, axis=1),
+                                        axis=1)
         n_safe = jnp.clip(nbrs, 0, N - 1)
 
         words = visited[b_rows, n_safe // 32]
@@ -145,23 +183,62 @@ def beam_search_batch(
         visited = visited.at[b_rows, n_safe // 32].add(
             jnp.where(fresh, bits, jnp.uint32(0)))
 
-        vecs = base[n_safe]                                  # [B, Mx, D]
-        d = batched_scores(queries, vecs, metric)
-        d = jnp.where(fresh, d, jnp.inf)
-        ii = jnp.where(fresh, nbrs, BIG)
+        if gather_chunk and gather_chunk < EM:
+            # Only fresh neighbors need vectors; in steady state ~90% of a
+            # frontier's neighbors are already visited, so the dominant cost
+            # (the HBM row gather) shrinks by ~n_fresh/Mx when fresh ids are
+            # compacted to the front and gathered in fixed-size chunks. An
+            # inner while_loop covers the rare early hops where many
+            # neighbors are fresh; queue contents are insertion-order
+            # independent, so chunked merging is semantics-preserving.
+            F = gather_chunk
+            pad_to = ((EM + F - 1) // F) * F
+            order = jnp.argsort(jnp.where(fresh, 0, 1), axis=1, stable=True)
+            c_ids = jnp.take_along_axis(nbrs, order, axis=1)
+            c_fresh = jnp.take_along_axis(fresh, order, axis=1)
+            if pad_to != EM:
+                c_ids = jnp.concatenate(
+                    [c_ids, jnp.full((B, pad_to - EM), BIG, jnp.int32)],
+                    axis=1)
+                c_fresh = jnp.concatenate(
+                    [c_fresh, jnp.zeros((B, pad_to - EM), bool)], axis=1)
+            max_fresh = jnp.max(jnp.sum(fresh, axis=1))
 
-        cand_d, cand_i, cand_e = _merge_sorted(cand_d, cand_i, cand_e,
-                                               d, ii, L)
+            def inner_cond(st):
+                return st[3] * F < max_fresh
+
+            def inner_body(st):
+                cd, ci, ce, c = st
+                ids_c = jax.lax.dynamic_slice_in_dim(c_ids, c * F, F, axis=1)
+                mk_c = jax.lax.dynamic_slice_in_dim(
+                    c_fresh.astype(jnp.int32), c * F, F, axis=1).astype(bool)
+                v = base[jnp.clip(ids_c, 0, N - 1)]
+                dd = batched_scores(queries, v, metric)
+                dd = jnp.where(mk_c, dd, jnp.inf)
+                ii2 = jnp.where(mk_c, ids_c, BIG)
+                cd, ci, ce = _merge_sorted(cd, ci, ce, dd, ii2, L)
+                return cd, ci, ce, c + 1
+
+            cand_d, cand_i, cand_e, _ = jax.lax.while_loop(
+                inner_cond, inner_body,
+                (cand_d, cand_i, cand_e, jnp.int32(0)))
+        else:
+            vecs = base[n_safe]                              # [B, EM, D]
+            d = batched_scores(queries, vecs, metric)
+            d = jnp.where(fresh, d, jnp.inf)
+            ii = jnp.where(fresh, nbrs, BIG)
+            cand_d, cand_i, cand_e = _merge_sorted(cand_d, cand_i, cand_e,
+                                                   d, ii, L)
         cmps = cmps + jnp.sum(fresh, axis=1).astype(jnp.int32)
         if capture:
             slot = jnp.clip(hops, 0, R - 1)
             ret_i = ret_i.at[jnp.arange(B), slot].set(
-                jnp.where(active & (hops < R), frontier,
+                jnp.where(active & (hops < R), frontier[:, 0],
                           ret_i[jnp.arange(B), slot]))
             ret_d = ret_d.at[jnp.arange(B), slot].set(
-                jnp.where(active & (hops < R), frontier_d,
+                jnp.where(active & (hops < R), frontier_d[:, 0],
                           ret_d[jnp.arange(B), slot]))
-        hops = hops + active.astype(jnp.int32)
+        hops = hops + jnp.sum(picked, axis=1).astype(jnp.int32)
         return (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d,
                 it + 1)
 
@@ -201,6 +278,10 @@ def search(
     dists = np.empty((Q, config.k), np.float32)
     cmps = np.empty((Q,), np.int32)
     hops = np.empty((Q,), np.int32)
+    # Dispatch every batch asynchronously before materializing any result —
+    # device round-trip latency then overlaps with compute instead of
+    # serializing per batch.
+    pending = []
     for s in range(0, Q, Bsz):
         e = min(s + Bsz, Q)
         qb = queries[s:e]
@@ -210,7 +291,11 @@ def search(
         res = beam_search_batch(
             adj, base_dev, jnp.asarray(qb), ep,
             k=config.k, L=config.L_pq, metric=config.metric,
-            max_hops=config.effective_max_hops)
+            max_hops=config.effective_max_hops,
+            gather_chunk=config.gather_chunk,
+            expand_width=config.expand_width)
+        pending.append((s, e, res))
+    for s, e, res in pending:
         ids[s:e] = np.asarray(res.ids)[: e - s]
         dists[s:e] = np.asarray(res.dists)[: e - s]
         cmps[s:e] = np.asarray(res.cmps)[: e - s]

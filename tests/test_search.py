@@ -106,3 +106,67 @@ def test_search_host_wrapper_pads_batches(rng):
         oids, _, _, _ = oracle.beam_search(lists, base, queries[qi], 0, 3, 8,
                                            "ip")
         assert ids[qi].tolist() == oids
+
+
+@pytest.mark.parametrize("chunk", [8, 16])
+def test_chunked_gather_path_matches_monolithic(rng, chunk):
+    """The fresh-compaction chunked gather is a pure perf transform: results,
+    cmps and hops must be identical to the monolithic path."""
+    n, dim, deg = 150, 8, 40  # deg > chunk so the inner loop really runs
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, deg)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((9, dim)).astype(np.float32)
+    kw = dict(k=5, L=16, metric=Metric.IP, max_hops=10_000)
+    res_c = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(0), gather_chunk=chunk, **kw)
+    res_m = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(0), gather_chunk=0, **kw)
+    np.testing.assert_array_equal(np.asarray(res_c.ids), np.asarray(res_m.ids))
+    np.testing.assert_array_equal(np.asarray(res_c.cmps), np.asarray(res_m.cmps))
+    np.testing.assert_array_equal(np.asarray(res_c.hops), np.asarray(res_m.hops))
+    for qi in range(9):
+        oids, _, ocmps, ohops = oracle.beam_search(
+            lists, base, queries[qi], 0, 5, 16, "ip")
+        assert np.asarray(res_c.ids)[qi].tolist() == oids
+        assert np.asarray(res_c.cmps)[qi] == ocmps
+
+
+def test_expand_width_quality(rng):
+    """Multi-expansion changes expansion order but must not produce
+    duplicates and should retain recall at the same L."""
+    from roargraph_tpu.ops.topk import knn
+    n, dim = 400, 16
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 12)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((32, dim)).astype(np.float32)
+    gt_ids, _ = knn(queries, base, k=5, metric="ip")
+
+    recalls = {}
+    for E in (1, 4):
+        res = rsearch.beam_search_batch(
+            jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+            jnp.int32(0), k=5, L=32, metric=Metric.IP, max_hops=10_000,
+            expand_width=E)
+        ids = np.asarray(res.ids)
+        d = np.asarray(res.dists)
+        for row in ids:
+            real = row[row >= 0]
+            assert len(set(real.tolist())) == len(real)
+        assert (np.diff(d, axis=1) >= -1e-6).all()
+        recalls[E] = np.mean([
+            len(set(ids[i].tolist()) & set(gt_ids[i].tolist())) / 5
+            for i in range(32)])
+    assert recalls[4] >= recalls[1] - 0.05, recalls
+
+
+def test_expand_width_capture_rejected():
+    with pytest.raises(ValueError, match="capture requires"):
+        rsearch.beam_search_batch(
+            jnp.zeros((4, 2), jnp.int32), jnp.zeros((4, 4), jnp.float32),
+            jnp.zeros((2, 4), jnp.float32), jnp.int32(0),
+            k=1, L=4, metric=Metric.IP, max_hops=8, capture=8,
+            expand_width=2)
