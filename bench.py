@@ -42,13 +42,15 @@ def main():
     t_start = time.time()
     N = int(os.environ.get("BENCH_N", 100_000))
     N_TRAIN = int(os.environ.get("BENCH_TRAIN", 50_000))
-    N_EVAL = int(os.environ.get("BENCH_EVAL", 5_000))
+    N_EVAL = int(os.environ.get("BENCH_EVAL", 8_192))
     D = int(os.environ.get("BENCH_D", 200))
     SEED = int(os.environ.get("BENCH_SEED", 0))
     K = 10
     TARGET = 0.95
 
     import roargraph_tpu as rt
+    from roargraph_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     from roargraph_tpu import eval as reval
     from roargraph_tpu import native
     from roargraph_tpu.build import build_roargraph
@@ -90,7 +92,7 @@ def main():
     def tpu_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
                              batch_size=int(os.environ.get("BENCH_BATCH",
-                                                           2048)))
+                                                           8192)))
         return search(graph, base, eval_q, c2)
 
     tpu_rows = reval.sweep(tpu_fn, L_values, gt_ids, k=K,

@@ -31,6 +31,7 @@ semantic — parity is judged on the recall/QPS curve, SURVEY.md §7.4):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import jax.numpy as jnp
@@ -269,7 +270,8 @@ def _phase_a(base_dev, train_knn: np.ndarray, cfg: BuildConfig, N: int):
 # ---------------------------------------------------------------------------
 
 def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
-                          proj_i: np.ndarray):
+                          proj_i: np.ndarray, checkpoint_dir: str | None = None,
+                          checkpoint_every: int = 50):
     """Per base node: beam-search the supply graph from the medoid, then
     occlusion-prune the expanded set into the node's new supply out-list
     (``SearchProjectionGraphInternal:1279-1350`` +
@@ -301,10 +303,21 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     supply_d[:, : adj_d.shape[1]] = adj_d
     deg = (supply_i != PAD).sum(axis=1).astype(np.int64)
 
+    start = 0
+    ckpt = (os.path.join(checkpoint_dir, "phase_b.npz")
+            if checkpoint_dir else None)
+    if ckpt and os.path.exists(ckpt):
+        with np.load(ckpt) as z:
+            supply_i, supply_d = z["supply_i"], z["supply_d"]
+            deg = z["deg"]
+            start = int(z["next"])
+        print(f"resuming phase B at node {start}/{N} from {ckpt}")
+
     adj_dev = jnp.asarray(supply_i)
     max_hops = 16 * L + 64
+    batches_done = 0
 
-    for s in range(0, N, B):
+    for s in range(start, N, B):
         e = min(s + B, N)
         nodes = np.arange(s, e, dtype=np.int32)
         if e - s < B:
@@ -366,6 +379,15 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
         changed = np.unique(np.concatenate([nodes.astype(np.int64), sdst]))
         adj_dev = adj_dev.at[jnp.asarray(changed)].set(
             jnp.asarray(supply_i[changed]))
+
+        batches_done += 1
+        if ckpt and batches_done % checkpoint_every == 0:
+            tmp = ckpt[:-4] + "_tmp.npz"
+            np.savez(tmp[:-4], supply_i=supply_i, supply_d=supply_d, deg=deg,
+                     next=np.int64(e))
+            os.replace(tmp, ckpt)
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)
     return supply_i, supply_d
 
 
@@ -399,7 +421,8 @@ def _merge_supply(proj_i: np.ndarray, supply_i: np.ndarray, M_pjbp: int):
 # ---------------------------------------------------------------------------
 
 def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
-                    *, verbose: bool = False):
+                    *, verbose: bool = False,
+                    checkpoint_dir: str | None = None):
     """Build a RoarGraph projection index.
 
     Args:
@@ -409,6 +432,10 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
                  reference gt file, ``LoadLearnBaseKNN``
                  ``src/index_bipartite.cpp:2622-2642``).
       cfg:       build parameters.
+      checkpoint_dir: when set, the build is resumable: phase A results and
+                 periodic phase-B progress are checkpointed there (the
+                 reference's build is monolithic — SURVEY.md §5.4; a
+                 10M-scale connectivity pass is hours of work worth saving).
 
     Returns (PaddedGraph, BuildReport).
     """
@@ -422,14 +449,26 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
     assert 0 <= ep < N
 
     # ---- Phase A: projection ------------------------------------------
-    adj_i, adj_d = _phase_a(base_dev, np.asarray(train_knn), cfg, N)
-    # two reverse-symmetrization rounds: the per-query inserts plus the
-    # post-phase flush (``LinkProjection:1092`` and ``:1100-1104``)
-    for _ in range(2):
-        adj_i, adj_d = _reverse_round(
-            adj_i, adj_d, base_dev, metric=cfg.metric, cap=cfg.M_pjbp,
-            prune_M=cfg.M_pjbp, prune_backfill=True, out_width=cfg.M_pjbp,
-            batch=cfg.prune_batch)
+    ckpt_a = (os.path.join(checkpoint_dir, "phase_a.npz")
+              if checkpoint_dir else None)
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    if ckpt_a and os.path.exists(ckpt_a):
+        with np.load(ckpt_a) as z:
+            adj_i, adj_d = z["adj_i"], z["adj_d"]
+        if verbose:
+            print(f"resumed phase A from {ckpt_a}")
+    else:
+        adj_i, adj_d = _phase_a(base_dev, np.asarray(train_knn), cfg, N)
+        # two reverse-symmetrization rounds: the per-query inserts plus the
+        # post-phase flush (``LinkProjection:1092`` and ``:1100-1104``)
+        for _ in range(2):
+            adj_i, adj_d = _reverse_round(
+                adj_i, adj_d, base_dev, metric=cfg.metric, cap=cfg.M_pjbp,
+                prune_M=cfg.M_pjbp, prune_backfill=True,
+                out_width=cfg.M_pjbp, batch=cfg.prune_batch)
+        if ckpt_a:
+            np.savez(ckpt_a[:-4], adj_i=adj_i, adj_d=adj_d)
     t1 = time.perf_counter()
     if verbose:
         print(f"projection time: {t1 - t0:.2f}s")
@@ -437,7 +476,8 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
     # ---- Phase B: connectivity augmentation (incremental; reverse
     # inserts bounded at 2*M happen inside, ``SupplyAddReverse:1353``) ----
     supply_i, supply_d = _phase_b_search_prune(
-        adj_i, adj_d, base_dev, cfg, ep, adj_i)
+        adj_i, adj_d, base_dev, cfg, ep, adj_i,
+        checkpoint_dir=checkpoint_dir)
     # final degree check: any node above M is re-pruned to M
     # (``LinkProjection:1224-1248``)
     over = np.flatnonzero((supply_i != PAD).sum(axis=1) > cfg.M_pjbp)

@@ -113,6 +113,14 @@ class SearchConfig:
     # of frontier nodes expanded per lockstep step.
     gather_chunk: int = 32
     expand_width: int = 1
+    # Segmented serving engine: run bounded-hop segments and compact finished
+    # queries out of the batch between segments (kills the slowest-query
+    # straggler tax; per-query results/cmps/hops are bit-identical).
+    segmented: bool = False
+    segment_hops: int | None = None
+    # Raise when a query ends with fewer than k reachable results (parity
+    # with the reference's runtime check, ``src/index_bipartite.cpp:2408``).
+    check_min_results: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "metric", Metric.parse(self.metric))

@@ -85,6 +85,65 @@ class PaddedGraph:
         return PaddedGraph.from_lists(lists, ep, max_degree=max_degree)
 
 
+def reachable_from(graph: PaddedGraph, start: int | None = None) -> np.ndarray:
+    """Boolean mask of nodes reachable from ``start`` (default: entry point)
+    by directed BFS — vectorized frontier expansion, no per-node recursion
+    (functional equivalent of the reference's legacy dfs reachability,
+    ``src/index_bipartite.cpp:2521-2604``)."""
+    n = graph.num_nodes
+    seen = np.zeros(n, bool)
+    frontier = np.array([graph.ep if start is None else start])
+    seen[frontier] = True
+    while frontier.size:
+        nxt = graph.ids[frontier].ravel()
+        nxt = nxt[nxt != PAD]
+        nxt = np.unique(nxt)
+        nxt = nxt[~seen[nxt]]
+        seen[nxt] = True
+        frontier = nxt
+    return seen
+
+
+def repair_connectivity(graph: PaddedGraph, base, metric) -> int:
+    """Attach every ep-unreachable node to its nearest reachable neighbor
+    (functional equivalent of the reference's legacy tree-ensure pass,
+    ``findroot/dfs/CollectPoints``, ``src/index_bipartite.cpp:2521-2604`` —
+    unreached by the shipped drivers but kept as a quality tool).
+
+    Mutates ``graph.ids`` in place (widening rows by one column if every
+    slot of a chosen anchor is full). Returns the number of edges added."""
+    from .config import Metric
+    from .ops.topk import knn
+
+    metric = Metric.parse(metric)
+    base = np.asarray(base)
+    added = 0
+    for _ in range(64):  # each round strictly grows reachability
+        seen = reachable_from(graph)
+        missing = np.flatnonzero(~seen)
+        if missing.size == 0:
+            break
+        reach_ids = np.flatnonzero(seen)
+        # nearest reachable anchor for each unreachable node (exact)
+        anchor_local, _ = knn(base[missing], base[reach_ids], k=1,
+                              metric=metric)
+        anchors = reach_ids[anchor_local[:, 0].astype(np.int64)]
+        ids = graph.ids
+        free = (ids[anchors] == PAD)
+        need_widen = ~free.any(axis=1)
+        if need_widen.any():
+            ids = np.concatenate(
+                [ids, np.full((ids.shape[0], 1), PAD, np.int32)], axis=1)
+            graph.ids = ids
+            free = (ids[anchors] == PAD)
+        slot = free.argmax(axis=1)
+        # dedup anchors: one new edge per anchor per round
+        uniq, first = np.unique(anchors, return_index=True)
+        ids[anchors[first], slot[first]] = missing[first].astype(np.int32)
+        added += first.size
+    return added
+
+
 def stats(graph: PaddedGraph) -> dict:
     """Degree statistics matching the reference's post-build printout
     (``src/index_bipartite.cpp:1160-1179``)."""

@@ -137,6 +137,21 @@ def load_projection_index(path: str) -> Tuple[int, list]:
     return ep, neighbors
 
 
+def load_nsg_index(path: str, npts: int = 1_000_000):
+    """Read an NSG-format graph: ``u32 width, u32 ep`` then per node
+    ``u32 deg, deg*u32 ids`` — the reference's ``LoadNsgGraph``
+    (``src/index_bipartite.cpp:2073-2095``) with its hardcoded node count
+    exposed as a parameter. Returns (ep, neighbor lists)."""
+    raw = np.fromfile(path, dtype="<u4")
+    ep = int(raw[1])  # raw[0] is the NSG 'width' field, unused like the ref
+    neighbors = []
+    pos = 2
+    for _ in range(npts):
+        deg = int(raw[pos]); pos += 1
+        neighbors.append(raw[pos:pos + deg].copy()); pos += deg
+    return ep, neighbors
+
+
 def save_bipartite_index(path: str, neighbors: list) -> None:
     """``Save`` format for the bipartite baseline: ``[u32 total_pts][deg, ids]*``
     (``src/index_bipartite.cpp:2045-2056``). Node order: base nodes

@@ -8,11 +8,11 @@ neighbor. On TPU, pointer-chasing scalar code is the wrong shape — instead a
 whole *batch* of queries advances one hop per step inside a single jitted
 ``lax.while_loop``:
 
-- the frontier (closest unexpanded candidate per query) is the argmax of a
-  boolean mask over the sorted candidate list — mirroring
-  ``closest_unexpanded`` (``neighbor.h:185-194``);
-- one gather fetches all frontier adjacency rows, one gather the neighbor
-  vectors, one batched contraction all distances (MXU);
+- the frontier (closest unexpanded candidate per query) is selected from the
+  sorted candidate list — mirroring ``closest_unexpanded``
+  (``neighbor.h:185-194``);
+- one gather fetches all frontier adjacency rows, one gather the (fresh)
+  neighbor vectors, one batched contraction all distances (MXU);
 - the visited set is a packed ``[B, ceil(N/32)] uint32`` bitmask; bit tests
   are a gather + mask, bit sets an add-scatter (rows are duplicate-free by
   the :class:`~roargraph_tpu.graph.PaddedGraph` invariant);
@@ -28,8 +28,12 @@ unmarked and relies on queue dedup, ``:2349``), which can make ``cmps``
 smaller by at most 1.
 
 Termination: a query is done when its queue holds no unexpanded candidate
-(``:2356``); finished queries idle (masked no-ops) until the whole batch is
-done — the while_loop's cond is "any query active".
+(``:2356``). In the plain engine the whole batch runs until its slowest query
+finishes (masked no-ops for the rest). The **segmented engine**
+(:func:`search_segmented`) removes that straggler tax: it runs bounded-hop
+segments and, between segments, retires finished queries and compacts the
+survivors into power-of-two-smaller batches on device — total device work
+tracks *sum* of per-query hops instead of ``B x max``.
 """
 from __future__ import annotations
 
@@ -69,72 +73,23 @@ def _merge_sorted(cand_d, cand_i, cand_e, new_d, new_i, L):
     return all_d[:, :L], all_i[:, :L], all_e[:, :L]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "L", "metric", "max_hops", "capture", "exclude_self",
-                     "gather_chunk", "expand_width"),
-)
-def beam_search_batch(
-    adj: jnp.ndarray,       # [N, Mx] int32 padded adjacency
-    base: jnp.ndarray,      # [N, D] vectors
-    queries: jnp.ndarray,   # [B, D]
-    ep: jnp.ndarray,        # scalar int32 entry point
-    *,
-    k: int,
-    L: int,
-    metric: Metric,
-    max_hops: int,
-    capture: int = 0,        # >0: record (frontier id, dist) per hop, R=capture
-    exclude_self: bool = False,
-    self_ids: jnp.ndarray | None = None,  # [B] — skipped like ``nbr == tgt``
-                                          # in ``SearchProjectionGraphInternal:1328``
-    gather_chunk: int = 32,  # fresh-neighbor gather chunk (perf knob; 0 = off)
-    expand_width: int = 1,   # frontier nodes expanded per step. 1 = strict
-                             # best-first (reference parity). >1 trades exact
-                             # expansion order for ~E x fewer loop steps —
-                             # per-query work rises slightly (a node that a
-                             # strictly-serial search would never expand can
-                             # be expanded), recall at a given L is unchanged
-                             # or better; cmps/hops then diverge from the
-                             # reference accounting.
-) -> SearchResult:
-    if expand_width > 1 and capture:
-        raise ValueError("capture requires expand_width=1 (exact expansion "
-                         "order is part of the build semantics)")
+# ---------------------------------------------------------------------------
+# The hop body (shared by the plain and segmented engines)
+# ---------------------------------------------------------------------------
+
+def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
+              exclude_self, gather_chunk, expand_width):
+    """Build (cond, body) over the state tuple
+    (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, it)."""
     N, Mx = adj.shape
     B = queries.shape[0]
-    W = (N + 31) // 32
     E = expand_width
-
-    if self_ids is None:
-        self_ids = jnp.full((B,), -1, jnp.int32)
-
-    # --- init: queue seeded with the entry point -------------------------
-    ep_vec = base[ep][None, :]
-    ep_d = pointwise_scores(jnp.broadcast_to(ep_vec, queries.shape), queries,
-                            metric)
-    cand_d = jnp.full((B, L), jnp.inf, jnp.float32).at[:, 0].set(ep_d)
-    cand_i = jnp.full((B, L), BIG, jnp.int32).at[:, 0].set(ep)
-    cand_e = jnp.zeros((B, L), jnp.int32)
-
-    visited = jnp.zeros((B, W), jnp.uint32)
-    ep_word, ep_bit = ep // 32, jnp.uint32(1) << jnp.uint32(ep % 32)
-    visited = visited.at[:, ep_word].set(ep_bit)
-
-    cmps = jnp.ones((B,), jnp.int32)  # the entry-point distance (``:2340``)
-    hops = jnp.zeros((B,), jnp.int32)
-
-    R = max(capture, 1)
-    ret_i = jnp.full((B, R), -1, jnp.int32)
-    ret_d = jnp.full((B, R), jnp.inf, jnp.float32)
-
     EM = E * Mx
     b_rows = jax.lax.broadcasted_iota(jnp.int32, (B, EM), 0)
 
     def cond(state):
-        cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, it = state
-        unexp = (cand_e == 0) & (cand_i != BIG)
-        return jnp.any(unexp) & (it < max_hops)
+        cand_d, cand_i, cand_e, *_ = state
+        return jnp.any((cand_e == 0) & (cand_i != BIG))
 
     def body(state):
         cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, it = state
@@ -142,8 +97,7 @@ def beam_search_batch(
         unexp = (cand_e == 0) & (cand_i != BIG)
         active = jnp.any(unexp, axis=1)
         if E == 1:
-            j = jnp.argmax(unexp, axis=1)                   # first unexpanded
-            jj = j[:, None]                                  # [B, 1]
+            jj = jnp.argmax(unexp, axis=1)[:, None]          # first unexpanded
             picked = active[:, None]
         else:
             # first E unexpanded positions, best-first (queue is sorted)
@@ -180,17 +134,19 @@ def beam_search_batch(
         fresh = valid & ((words & bits) == 0)
         if exclude_self:
             fresh = fresh & (nbrs != self_ids[:, None])
-        visited = visited.at[b_rows, n_safe // 32].add(
-            jnp.where(fresh, bits, jnp.uint32(0)))
+        use_chunks = gather_chunk and gather_chunk < EM
+        if not use_chunks:
+            visited = visited.at[b_rows, n_safe // 32].add(
+                jnp.where(fresh, bits, jnp.uint32(0)))
 
-        if gather_chunk and gather_chunk < EM:
+        if use_chunks:
             # Only fresh neighbors need vectors; in steady state ~90% of a
-            # frontier's neighbors are already visited, so the dominant cost
-            # (the HBM row gather) shrinks by ~n_fresh/Mx when fresh ids are
-            # compacted to the front and gathered in fixed-size chunks. An
-            # inner while_loop covers the rare early hops where many
-            # neighbors are fresh; queue contents are insertion-order
-            # independent, so chunked merging is semantics-preserving.
+            # frontier's neighbors are already visited, so the dominant HBM
+            # row gather shrinks by ~n_fresh/EM when fresh ids are compacted
+            # to the front and gathered in fixed-size chunks. An inner
+            # while_loop covers early hops where many neighbors are fresh;
+            # queue contents are insertion-order independent, so chunked
+            # merging is semantics-preserving.
             F = gather_chunk
             pad_to = ((EM + F - 1) // F) * F
             order = jnp.argsort(jnp.where(fresh, 0, 1), axis=1, stable=True)
@@ -203,25 +159,33 @@ def beam_search_batch(
                 c_fresh = jnp.concatenate(
                     [c_fresh, jnp.zeros((B, pad_to - EM), bool)], axis=1)
             max_fresh = jnp.max(jnp.sum(fresh, axis=1))
+            b_rows_c = jax.lax.broadcasted_iota(jnp.int32, (B, F), 0)
 
             def inner_cond(st):
-                return st[3] * F < max_fresh
+                return st[4] * F < max_fresh
 
             def inner_body(st):
-                cd, ci, ce, c = st
+                cd, ci, ce, vis, c = st
                 ids_c = jax.lax.dynamic_slice_in_dim(c_ids, c * F, F, axis=1)
                 mk_c = jax.lax.dynamic_slice_in_dim(
                     c_fresh.astype(jnp.int32), c * F, F, axis=1).astype(bool)
-                v = base[jnp.clip(ids_c, 0, N - 1)]
+                safe_c = jnp.clip(ids_c, 0, N - 1)
+                # bit-set rides in the chunk too: the scatter then touches
+                # only ~n_fresh elements instead of all E*Mx scanned ones
+                bits_c = (jnp.uint32(1)
+                          << (safe_c % 32).astype(jnp.uint32))
+                vis = vis.at[b_rows_c, safe_c // 32].add(
+                    jnp.where(mk_c, bits_c, jnp.uint32(0)))
+                v = base[safe_c]
                 dd = batched_scores(queries, v, metric)
                 dd = jnp.where(mk_c, dd, jnp.inf)
                 ii2 = jnp.where(mk_c, ids_c, BIG)
                 cd, ci, ce = _merge_sorted(cd, ci, ce, dd, ii2, L)
-                return cd, ci, ce, c + 1
+                return cd, ci, ce, vis, c + 1
 
-            cand_d, cand_i, cand_e, _ = jax.lax.while_loop(
+            cand_d, cand_i, cand_e, visited, _ = jax.lax.while_loop(
                 inner_cond, inner_body,
-                (cand_d, cand_i, cand_e, jnp.int32(0)))
+                (cand_d, cand_i, cand_e, visited, jnp.int32(0)))
         else:
             vecs = base[n_safe]                              # [B, EM, D]
             d = batched_scores(queries, vecs, metric)
@@ -242,9 +206,78 @@ def beam_search_batch(
         return (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d,
                 it + 1)
 
-    state = (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d,
-             jnp.int32(0))
-    state = jax.lax.while_loop(cond, body, state)
+    return cond, body
+
+
+def _init_state(base, queries, ep, *, L, metric, N, R):
+    B = queries.shape[0]
+    W = (N + 31) // 32
+    ep_vec = base[ep][None, :]
+    ep_d = pointwise_scores(jnp.broadcast_to(ep_vec, queries.shape), queries,
+                            metric)
+    cand_d = jnp.full((B, L), jnp.inf, jnp.float32).at[:, 0].set(ep_d)
+    cand_i = jnp.full((B, L), BIG, jnp.int32).at[:, 0].set(ep)
+    cand_e = jnp.zeros((B, L), jnp.int32)
+    visited = jnp.zeros((B, W), jnp.uint32)
+    ep_word, ep_bit = ep // 32, jnp.uint32(1) << jnp.uint32(ep % 32)
+    visited = visited.at[:, ep_word].set(ep_bit)
+    cmps = jnp.ones((B,), jnp.int32)  # the entry-point distance (``:2340``)
+    hops = jnp.zeros((B,), jnp.int32)
+    ret_i = jnp.full((B, R), -1, jnp.int32)
+    ret_d = jnp.full((B, R), jnp.inf, jnp.float32)
+    return (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d,
+            jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# Plain engine: one jit call runs a batch to completion
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "L", "metric", "max_hops", "capture", "exclude_self",
+                     "gather_chunk", "expand_width"),
+)
+def beam_search_batch(
+    adj: jnp.ndarray,       # [N, Mx] int32 padded adjacency
+    base: jnp.ndarray,      # [N, D] vectors
+    queries: jnp.ndarray,   # [B, D]
+    ep: jnp.ndarray,        # scalar int32 entry point
+    *,
+    k: int,
+    L: int,
+    metric: Metric,
+    max_hops: int,
+    capture: int = 0,        # >0: record (frontier id, dist) per hop, R=capture
+    exclude_self: bool = False,
+    self_ids: jnp.ndarray | None = None,  # [B] — skipped like ``nbr == tgt``
+                                          # in ``SearchProjectionGraphInternal:1328``
+    gather_chunk: int = 32,  # fresh-neighbor gather chunk (perf knob; 0 = off)
+    expand_width: int = 1,   # frontier nodes expanded per step. 1 = strict
+                             # best-first (reference parity). >1 trades exact
+                             # expansion order for ~E x fewer loop steps;
+                             # recall at a given L is unchanged or better but
+                             # cmps/hops diverge from the reference accounting.
+) -> SearchResult:
+    if expand_width > 1 and capture:
+        raise ValueError("capture requires expand_width=1 (exact expansion "
+                         "order is part of the build semantics)")
+    N, _ = adj.shape
+    B = queries.shape[0]
+    if self_ids is None:
+        self_ids = jnp.full((B,), -1, jnp.int32)
+    R = max(capture, 1)
+
+    cond, body = _make_hop(adj, base, queries, self_ids, L=L, metric=metric,
+                           capture=capture, R=R, exclude_self=exclude_self,
+                           gather_chunk=gather_chunk,
+                           expand_width=expand_width)
+    state = _init_state(base, queries, ep, L=L, metric=metric, N=N, R=R)
+
+    def cond_max(st):
+        return cond(st) & (st[8] < max_hops)
+
+    state = jax.lax.while_loop(cond_max, body, state)
     cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, _ = state
 
     out_i = jnp.where(cand_i[:, :k] == BIG, -1, cand_i[:, :k])
@@ -252,6 +285,123 @@ def beam_search_batch(
     if capture:
         return SearchResult(out_i, out_d, cmps, hops, ret_i, ret_d)
     return SearchResult(out_i, out_d, cmps, hops)
+
+
+# ---------------------------------------------------------------------------
+# Segmented engine: bounded-hop segments + on-device survivor compaction
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "metric", "segment", "gather_chunk", "expand_width"))
+def _run_segment(adj, base, queries, orig_idx, state, *, L, metric, segment,
+                 gather_chunk, expand_width):
+    """Advance every query by at most ``segment`` further frontier
+    expansions. Returns (state, n_active)."""
+    B = queries.shape[0]
+    self_ids = jnp.full((B,), -1, jnp.int32)
+    cond, body = _make_hop(adj, base, queries, self_ids, L=L, metric=metric,
+                           capture=0, R=1, exclude_self=False,
+                           gather_chunk=gather_chunk,
+                           expand_width=expand_width)
+    state = state[:8] + (jnp.int32(0),)  # reset segment iteration counter
+
+    def cond_seg(st):
+        return cond(st) & (st[8] < segment)
+
+    state = jax.lax.while_loop(cond_seg, body, state)
+    cand_i, cand_e = state[1], state[2]
+    active = jnp.any((cand_e == 0) & (cand_i != BIG), axis=1)
+    return state, jnp.sum(active.astype(jnp.int32)), active
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def _compact(queries, orig_idx, state, active, *, out_size):
+    """Gather the first ``out_size`` still-active rows (padding with
+    finished rows, which idle as no-ops) into a smaller batch."""
+    order = jnp.argsort(jnp.where(active, 0, 1), axis=0, stable=True)
+    sel = order[:out_size]
+    cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, it = state
+    new_state = (cand_d[sel], cand_i[sel], cand_e[sel], visited[sel],
+                 cmps[sel], hops[sel], ret_i[sel], ret_d[sel], it)
+    return queries[sel], orig_idx[sel], new_state
+
+
+def search_segmented(
+    graph: PaddedGraph, base, queries, config: SearchConfig, *,
+    segment: int | None = None,
+):
+    """Serving-path search with straggler elimination.
+
+    Runs ``segment``-hop slices; after each slice, finished queries' results
+    are written out and the surviving queries are compacted on device into
+    the next power-of-two batch size. Device work tracks the *sum* of
+    per-query hops instead of ``batch x max`` (the reference's OpenMP
+    dynamic schedule achieves the same effect with work stealing,
+    ``tests/test_search_roargraph.cpp:203``).
+    """
+    adj = jnp.asarray(graph.ids)
+    base_dev = jnp.asarray(base)
+    queries = np.asarray(queries)
+    Q = queries.shape[0]
+    k, L = config.k, config.L_pq
+    segment = segment or max(L, 32)
+    Bsz = min(config.batch_size, max(64, Q))
+    ep = jnp.int32(graph.ep)
+
+    out_ids = np.empty((Q, k), np.int32)
+    out_d = np.empty((Q, k), np.float32)
+    out_cmps = np.empty((Q,), np.int32)
+    out_hops = np.empty((Q,), np.int32)
+
+    def finalize(state, q_idx, mask):
+        cand_d, cand_i, _, _, cmps, hops, *_ = state
+        sel = np.asarray(mask)
+        if not sel.any():
+            return
+        rows = np.asarray(q_idx)[sel]
+        keep = rows >= 0  # padded rows carry orig_idx -1
+        rows = rows[keep]
+        ids = np.asarray(cand_i[:, :k])[sel][keep]
+        out_ids[rows] = np.where(ids == int(BIG), -1, ids)
+        out_d[rows] = np.asarray(cand_d[:, :k])[sel][keep]
+        out_cmps[rows] = np.asarray(cmps)[sel][keep]
+        out_hops[rows] = np.asarray(hops)[sel][keep]
+
+    max_rounds = (config.effective_max_hops + segment - 1) // segment
+    for s in range(0, Q, Bsz):
+        e = min(s + Bsz, Q)
+        qb = queries[s:e]
+        orig = np.arange(s, e, dtype=np.int32)
+        if e - s < Bsz:
+            pad = Bsz - (e - s)
+            qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
+            orig = np.concatenate([orig, np.full(pad, -1, np.int32)])
+        qd = jnp.asarray(qb)
+        oi = jnp.asarray(orig)
+        state = _init_state(base_dev, qd, ep, L=L, metric=config.metric,
+                            N=adj.shape[0], R=1)
+        for _ in range(max_rounds):
+            state, n_active, active = _run_segment(
+                adj, base_dev, qd, oi, state, L=L, metric=config.metric,
+                segment=segment, gather_chunk=config.gather_chunk,
+                expand_width=config.expand_width)
+            n = int(n_active)
+            B_cur = qd.shape[0]
+            if n == 0:
+                finalize(state, oi, np.ones(B_cur, bool))
+                break
+            # retire finished rows, shrink the batch when <= half survive
+            target = B_cur
+            while target > 64 and n <= target // 2:
+                target //= 2
+            if target < B_cur:
+                finalize(state, oi, ~np.asarray(active))
+                qd, oi, state = _compact(qd, oi, state, active,
+                                         out_size=target)
+        else:
+            finalize(state, oi, np.ones(qd.shape[0], bool))
+    return out_ids, out_d, out_cmps, out_hops
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +417,9 @@ def search(
     """Search a batch of queries, looping device-sized blocks on the host.
 
     Returns numpy (ids [Q, k], dists [Q, k], cmps [Q], hops [Q])."""
+    if config.segmented:
+        return search_segmented(graph, base, queries, config,
+                                segment=config.segment_hops)
     adj = jnp.asarray(graph.ids)
     base_dev = jnp.asarray(base)
     queries = np.asarray(queries)
@@ -300,4 +453,8 @@ def search(
         dists[s:e] = np.asarray(res.dists)[: e - s]
         cmps[s:e] = np.asarray(res.cmps)[: e - s]
         hops[s:e] = np.asarray(res.hops)[: e - s]
+    if config.check_min_results and (ids < 0).any():
+        short = int((ids < 0).any(axis=1).sum())
+        raise RuntimeError(
+            f"not enough results for {short} queries, expected: {config.k}")
     return ids, dists, cmps, hops

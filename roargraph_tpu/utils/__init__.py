@@ -1,1 +1,2 @@
-from .metrics import Timer, TimerRegistry, counters  # noqa: F401
+from .metrics import (Timer, TimerRegistry, counters,  # noqa: F401
+                      enable_compilation_cache)

@@ -73,3 +73,19 @@ class TimerRegistry:
 
 
 counters: collections.Counter = collections.Counter()
+
+
+def enable_compilation_cache(path: str = "build/jax_cache") -> None:
+    """Persist XLA compilations to disk — first-compile on the tunneled TPU
+    costs 20-40s per distinct static shape, so cross-process caching is a
+    large wall-clock win for sweeps and repeated bench runs."""
+    import os
+
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except AttributeError:  # older jax
+        pass

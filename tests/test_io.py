@@ -91,3 +91,51 @@ def test_padded_graph_roundtrip(tmp_path):
     for a, b in zip(g.to_lists(), g2.to_lists()):
         np.testing.assert_array_equal(a, b)
     assert g2.ep == 1
+
+
+def test_nsg_index_loader(tmp_path):
+    import numpy as np
+    from roargraph_tpu import io as rio
+    # NSG layout: width, ep, then per-node [deg, ids]
+    chunks = [np.array([64, 2], dtype="<u4")]
+    lists = [np.array([1, 2], dtype="<u4"), np.array([0], dtype="<u4"),
+             np.array([], dtype="<u4")]
+    for l in lists:
+        chunks.append(np.array([l.size], dtype="<u4"))
+        chunks.append(l)
+    p = str(tmp_path / "g.nsg")
+    np.concatenate(chunks).tofile(p)
+    ep, out = rio.load_nsg_index(p, npts=3)
+    assert ep == 2
+    assert [o.tolist() for o in out] == [[1, 2], [0], []]
+
+
+def test_reachability_and_repair(rng):
+    import numpy as np
+    from roargraph_tpu.graph import PaddedGraph, reachable_from, \
+        repair_connectivity
+    base = rng.standard_normal((10, 4)).astype(np.float32)
+    # two components: {0,1,2} reachable from ep=0; {3..9} a separate chain
+    lists = [[1], [2], [0], [4], [5], [6], [7], [8], [9], [3]]
+    g = PaddedGraph.from_lists([np.array(l) for l in lists], ep=0)
+    seen = reachable_from(g)
+    assert seen[:3].all() and not seen[3:].any()
+    added = repair_connectivity(g, base, "l2")
+    assert added >= 1
+    assert reachable_from(g).all()
+
+
+def test_check_min_results_raises(rng):
+    import numpy as np
+    import roargraph_tpu as rt
+    from roargraph_tpu.graph import PaddedGraph
+    from roargraph_tpu import search as rsearch
+    base = rng.standard_normal((6, 4)).astype(np.float32)
+    # isolated entry point: only 1 result ever reachable
+    g = PaddedGraph.from_lists([np.array([], np.int32)] * 6, ep=0)
+    q = rng.standard_normal((2, 4)).astype(np.float32)
+    cfg = rt.SearchConfig(k=3, L_pq=4, metric="l2", batch_size=2,
+                          check_min_results=True)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="not enough results"):
+        rsearch.search(g, base, q, cfg)

@@ -170,3 +170,20 @@ def test_expand_width_capture_rejected():
             jnp.zeros((2, 4), jnp.float32), jnp.int32(0),
             k=1, L=4, metric=Metric.IP, max_hops=8, capture=8,
             expand_width=2)
+
+
+def test_segmented_matches_plain(rng):
+    """Segmented serving engine must return bit-identical results, cmps and
+    hops — segmentation and compaction are pure scheduling transforms."""
+    n, dim = 300, 10
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 7)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((150, dim)).astype(np.float32)
+    plain = SearchConfig(k=5, L_pq=24, metric=Metric.IP, batch_size=128)
+    seg = SearchConfig(k=5, L_pq=24, metric=Metric.IP, batch_size=128,
+                       segmented=True, segment_hops=8)
+    p = rsearch.search(g, base, queries, plain)
+    s = rsearch.search(g, base, queries, seg)
+    for a, b in zip(p, s):
+        np.testing.assert_array_equal(a, b)
