@@ -86,20 +86,44 @@ def main():
 
     gt_ids, _ = knn(eval_q, base, k=K, metric="ip")
 
-    L_values = [10, 20, 40, 80, 150, 300, 500]
+    # --- coarse quantizer for seeded starts (cached with the index) ---
+    from roargraph_tpu.ops.seeds import SeedIndex, build_seeds
+    seed_cache = cache.replace(".npz", "_seeds.npz")
+    if os.path.exists(seed_cache) and not os.environ.get("BENCH_FRESH"):
+        sidx = SeedIndex.load_npz(seed_cache)
+    else:
+        sidx = build_seeds(base, n_centroids=max(256, N // 64), iters=4,
+                           metric="ip")
+        sidx.save_npz(seed_cache)
+    log(f"seed quantizer: {sidx.seed_ids.size} representatives")
 
-    # --- TPU engine sweep ---
+    L_values = [10, 20, 40, 80, 150, 300, 500]
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
+
+    # --- TPU engine sweeps: reference-parity (medoid start) + seeded ---
     def tpu_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
-                             batch_size=int(os.environ.get("BENCH_BATCH",
-                                                           8192)))
+                             batch_size=batch)
         return search(graph, base, eval_q, c2)
 
+    def tpu_seeded_fn(c):
+        c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
+                             batch_size=batch, n_seeds=8)
+        return search(graph, base, eval_q, c2, seeds=sidx)
+
+    log("TPU sweep (medoid start):")
     tpu_rows = reval.sweep(tpu_fn, L_values, gt_ids, k=K,
                            metric=rt.Metric.IP, n_queries=N_EVAL,
                            verbose=True)
-    tpu_qps = reval.qps_at_recall(tpu_rows, TARGET)
-    best_recall = max(r["recall"] for r in tpu_rows)
+    log("TPU sweep (seeded start):")
+    seeded_rows = reval.sweep(tpu_seeded_fn, L_values, gt_ids, k=K,
+                              metric=rt.Metric.IP, n_queries=N_EVAL,
+                              verbose=True)
+    tpu_plain_qps = reval.qps_at_recall(tpu_rows, TARGET)
+    tpu_seeded_qps = reval.qps_at_recall(seeded_rows, TARGET)
+    tpu_qps = max([q for q in (tpu_plain_qps, tpu_seeded_qps)
+                   if q is not None], default=None)
+    best_recall = max(r["recall"] for r in tpu_rows + seeded_rows)
 
     # --- CPU native baseline sweep (reference-engine semantics) ---
     cpu_qps = None
@@ -123,6 +147,8 @@ def main():
         "value": round(value, 1),
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs else None,
+        "tpu_medoid_qps": round(tpu_plain_qps, 1) if tpu_plain_qps else None,
+        "tpu_seeded_qps": round(tpu_seeded_qps, 1) if tpu_seeded_qps else None,
         "cpu_baseline_qps": round(cpu_qps, 1) if cpu_qps else None,
         "cpu_threads": threads,
         "platform": platform,

@@ -121,6 +121,11 @@ class SearchConfig:
     # Raise when a query ends with fewer than k reachable results (parity
     # with the reference's runtime check, ``src/index_bipartite.cpp:2408``).
     check_min_results: bool = False
+    # When a SeedIndex is supplied to search(): number of per-query start
+    # candidates from the coarse quantizer (0 = medoid-only, reference
+    # parity). Seeding only *adds* start candidates; recall at a given L is
+    # unchanged or better, hops drop on large corpora.
+    n_seeds: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "metric", Metric.parse(self.metric))

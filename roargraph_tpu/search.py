@@ -209,19 +209,45 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
     return cond, body
 
 
-def _init_state(base, queries, ep, *, L, metric, N, R):
+def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
+                init_dists=None):
     B = queries.shape[0]
     W = (N + 31) // 32
     ep_vec = base[ep][None, :]
     ep_d = pointwise_scores(jnp.broadcast_to(ep_vec, queries.shape), queries,
                             metric)
-    cand_d = jnp.full((B, L), jnp.inf, jnp.float32).at[:, 0].set(ep_d)
-    cand_i = jnp.full((B, L), BIG, jnp.int32).at[:, 0].set(ep)
-    cand_e = jnp.zeros((B, L), jnp.int32)
     visited = jnp.zeros((B, W), jnp.uint32)
-    ep_word, ep_bit = ep // 32, jnp.uint32(1) << jnp.uint32(ep % 32)
-    visited = visited.at[:, ep_word].set(ep_bit)
-    cmps = jnp.ones((B,), jnp.int32)  # the entry-point distance (``:2340``)
+    if init_ids is None:
+        cand_d = jnp.full((B, L), jnp.inf, jnp.float32).at[:, 0].set(ep_d)
+        cand_i = jnp.full((B, L), BIG, jnp.int32).at[:, 0].set(ep)
+        ep_word, ep_bit = ep // 32, jnp.uint32(1) << jnp.uint32(ep % 32)
+        visited = visited.at[:, ep_word].set(ep_bit)
+        cmps = jnp.ones((B,), jnp.int32)  # the ep distance (``:2340``)
+    else:
+        # entry point + per-query seed candidates, id-deduplicated so the
+        # visited add-scatter stays single-writer per bit
+        S = init_ids.shape[1]
+        all_i = jnp.concatenate(
+            [jnp.full((B, 1), ep, jnp.int32), init_ids], axis=1)
+        all_d = jnp.concatenate([ep_d[:, None], init_dists], axis=1)
+        si, sd = jax.lax.sort((all_i, all_d), num_keys=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), si[:, 1:] == si[:, :-1]], axis=1)
+        safe = jnp.clip(si, 0, N - 1)
+        bits = jnp.where(dup, jnp.uint32(0),
+                         jnp.uint32(1) << (safe % 32).astype(jnp.uint32))
+        b_r = jax.lax.broadcasted_iota(jnp.int32, (B, S + 1), 0)
+        visited = visited.at[b_r, safe // 32].add(bits)
+        si = jnp.where(dup, BIG, si)
+        sd = jnp.where(dup, jnp.inf, sd)
+        pad = max(L - (S + 1), 0)
+        cand_d = jnp.concatenate(
+            [sd, jnp.full((B, pad), jnp.inf)], axis=1)[:, :L]
+        cand_i = jnp.concatenate(
+            [si, jnp.full((B, pad), BIG, jnp.int32)], axis=1)[:, :L]
+        cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=2)
+        cmps = jnp.full((B,), S + 1, jnp.int32)
+    cand_e = jnp.zeros((B, L), jnp.int32)
     hops = jnp.zeros((B,), jnp.int32)
     ret_i = jnp.full((B, R), -1, jnp.int32)
     ret_d = jnp.full((B, R), jnp.inf, jnp.float32)
@@ -258,6 +284,8 @@ def beam_search_batch(
                              # expansion order for ~E x fewer loop steps;
                              # recall at a given L is unchanged or better but
                              # cmps/hops diverge from the reference accounting.
+    init_ids: jnp.ndarray | None = None,    # [B, S] extra start candidates
+    init_dists: jnp.ndarray | None = None,  # [B, S] their scores
 ) -> SearchResult:
     if expand_width > 1 and capture:
         raise ValueError("capture requires expand_width=1 (exact expansion "
@@ -272,7 +300,8 @@ def beam_search_batch(
                            capture=capture, R=R, exclude_self=exclude_self,
                            gather_chunk=gather_chunk,
                            expand_width=expand_width)
-    state = _init_state(base, queries, ep, L=L, metric=metric, N=N, R=R)
+    state = _init_state(base, queries, ep, L=L, metric=metric, N=N, R=R,
+                        init_ids=init_ids, init_dists=init_dists)
 
     def cond_max(st):
         return cond(st) & (st[8] < max_hops)
@@ -413,6 +442,7 @@ def search(
     base,
     queries,
     config: SearchConfig,
+    seeds=None,  # ops.seeds.SeedIndex | None
 ):
     """Search a batch of queries, looping device-sized blocks on the host.
 
@@ -426,6 +456,16 @@ def search(
     Q = queries.shape[0]
     Bsz = min(config.batch_size, Q) if Q else config.batch_size
     ep = jnp.int32(graph.ep)
+
+    seed_fn = None
+    if seeds is not None and config.n_seeds > 0:
+        from .ops.seeds import seed_queries
+        sid = jnp.asarray(seeds.seed_ids)
+        svec = jnp.asarray(seeds.seed_vecs)
+
+        def seed_fn(qb):
+            return seed_queries(qb, sid, svec, n_seeds=config.n_seeds,
+                                metric=config.metric)
 
     ids = np.empty((Q, config.k), np.int32)
     dists = np.empty((Q, config.k), np.float32)
@@ -441,12 +481,17 @@ def search(
         if e - s < Bsz:
             qb = np.concatenate(
                 [qb, np.zeros((Bsz - (e - s), qb.shape[1]), qb.dtype)])
+        qd = jnp.asarray(qb)
+        init_ids = init_dists = None
+        if seed_fn is not None:
+            init_ids, init_dists = seed_fn(qd)
         res = beam_search_batch(
-            adj, base_dev, jnp.asarray(qb), ep,
+            adj, base_dev, qd, ep,
             k=config.k, L=config.L_pq, metric=config.metric,
             max_hops=config.effective_max_hops,
             gather_chunk=config.gather_chunk,
-            expand_width=config.expand_width)
+            expand_width=config.expand_width,
+            init_ids=init_ids, init_dists=init_dists)
         pending.append((s, e, res))
     for s, e, res in pending:
         ids[s:e] = np.asarray(res.ids)[: e - s]

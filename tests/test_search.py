@@ -185,5 +185,7 @@ def test_segmented_matches_plain(rng):
                        segmented=True, segment_hops=8)
     p = rsearch.search(g, base, queries, plain)
     s = rsearch.search(g, base, queries, seg)
-    for a, b in zip(p, s):
-        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(p[0], s[0])          # ids exact
+    np.testing.assert_allclose(p[1], s[1], rtol=1e-6)  # dists: XLA fusion
+    np.testing.assert_array_equal(p[2], s[2])          # cmps exact
+    np.testing.assert_array_equal(p[3], s[3])          # hops exact
