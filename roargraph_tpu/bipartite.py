@@ -32,7 +32,7 @@ import numpy as np
 from .config import Metric, SearchConfig
 from .graph import PAD
 from . import io as rio
-from .ops.distance import batched_scores, pointwise_scores
+from .ops.distance import batched_scores
 
 BIG = jnp.int32(2**31 - 1)
 

@@ -16,16 +16,21 @@ deterministic bulk round — a ``vmap``-style batched kernel over nodes plus a
 host-side scatter/group-by. Phase A pruning is a pure function of each query's
 own NN list, so it vectorizes directly; reverse-edge insertion becomes a
 global edge-flip + segmented group-by + one batched re-prune of overflowing
-nodes; Phase B reuses the lockstep search engine over a frozen graph snapshot
-(the reference's racy interleaving is replaced by bulk-synchronous rounds).
+nodes; Phase B reuses the lockstep search engine *incrementally* in
+bulk-synchronous batches (each batch's new edges are visible to later
+batches' searches — the deterministic analog of the reference's in-place
+racy updates, which are what stitch phase-A fragments into one searchable
+component).
 
 Known, deliberate divergences from the reference (all order-level, none
 semantic — parity is judged on the recall/QPS curve, SURVEY.md §7.4):
 
 - reverse-edge arrival order is source-id-ascending instead of thread-racing;
 - a node overflowing during reverse insertion is re-pruned once over the full
-  candidate union instead of once per arriving edge;
-- phase-B searches all read the same graph snapshot;
+  candidate union instead of once per arriving edge (phase A), or appended
+  up to the 2*M bound with overflow pruning deferred to the final degree
+  check (phase B);
+- phase-B incrementality is batch-granular instead of per-node;
 - the phase-B expanded-set capture is bounded at ``L_pjpq`` entries.
 """
 from __future__ import annotations

@@ -20,7 +20,6 @@ functions operate on already-downloaded artifacts):
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Iterable, Sequence
 
 import numpy as np

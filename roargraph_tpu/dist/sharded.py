@@ -22,7 +22,6 @@ round-trips inside a step.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Sequence
 
 import jax
@@ -31,8 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import BuildConfig, Metric, SearchConfig
-from ..graph import PAD, PaddedGraph
-from ..ops.distance import pairwise_scores
+from ..graph import PAD
 from ..search import BIG, beam_search_batch
 
 
@@ -121,13 +119,6 @@ def build_sharded(base, train_knn_fn, cfg: BuildConfig, n_shards: int,
 # ---------------------------------------------------------------------------
 # Sharded search
 # ---------------------------------------------------------------------------
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "L", "metric", "max_hops", "mesh_name"))
-def _noop(*a, **k):  # pragma: no cover
-    raise RuntimeError
-
 
 def sharded_search_step(mesh: Mesh, *, k: int, L: int, metric: Metric,
                         max_hops: int):

@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Metric
-from .distance import batched_scores
 
 INVALID = jnp.int32(-1)
 _BIG_I32 = jnp.int32(2**31 - 1)
