@@ -101,14 +101,16 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 8192))
 
     # --- TPU engine sweeps: reference-parity (medoid start) + seeded ---
+    bucket = max(L_values)  # one compiled program serves the whole sweep
+
     def tpu_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
-                             batch_size=batch)
+                             batch_size=batch, L_bucket=bucket)
         return search(graph, base, eval_q, c2)
 
     def tpu_seeded_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
-                             batch_size=batch, n_seeds=8)
+                             batch_size=batch, n_seeds=8, L_bucket=bucket)
         return search(graph, base, eval_q, c2, seeds=sidx)
 
     log("TPU sweep (medoid start):")

@@ -126,12 +126,18 @@ class SearchConfig:
     # parity). Seeding only *adds* start candidates; recall at a given L is
     # unchanged or better, hops drop on large corpora.
     n_seeds: int = 0
+    # Pad the queue to this static width and treat L_pq as a runtime value:
+    # one compiled program then serves every L_pq <= L_bucket (sweeps stop
+    # recompiling per point). None = compile per L_pq.
+    L_bucket: int | None = None
 
     def __post_init__(self):
         object.__setattr__(self, "metric", Metric.parse(self.metric))
         if self.L_pq < self.k:
             # parity: ``tests/test_search_roargraph.cpp:192-195``
             raise ValueError("L_pq must be greater or equal than k")
+        if self.L_bucket is not None and self.L_bucket < self.L_pq:
+            raise ValueError("L_bucket must be >= L_pq")
 
     @property
     def effective_max_hops(self) -> int:

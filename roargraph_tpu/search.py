@@ -78,7 +78,7 @@ def _merge_sorted(cand_d, cand_i, cand_e, new_d, new_i, L):
 # ---------------------------------------------------------------------------
 
 def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
-              exclude_self, gather_chunk, expand_width):
+              exclude_self, gather_chunk, expand_width, L_eff=None):
     """Build (cond, body) over the state tuple
     (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, it)."""
     N, Mx = adj.shape
@@ -86,6 +86,21 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
     E = expand_width
     EM = E * Mx
     b_rows = jax.lax.broadcasted_iota(jnp.int32, (B, EM), 0)
+
+    if L_eff is None:
+        def cap(cd, ci, ce):
+            return cd, ci, ce
+    else:
+        # dynamic queue capacity: arrays are padded to the static width L,
+        # but the live queue is the first L_eff entries — masking the tail
+        # after each merge is exactly the reference's capacity-L_eff insert
+        qcol = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+        def cap(cd, ci, ce):
+            live = qcol < L_eff
+            return (jnp.where(live, cd, jnp.inf),
+                    jnp.where(live, ci, BIG),
+                    jnp.where(live, ce, 0))
 
     def cond(state):
         cand_d, cand_i, cand_e, *_ = state
@@ -180,7 +195,7 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
                 dd = batched_scores(queries, v, metric)
                 dd = jnp.where(mk_c, dd, jnp.inf)
                 ii2 = jnp.where(mk_c, ids_c, BIG)
-                cd, ci, ce = _merge_sorted(cd, ci, ce, dd, ii2, L)
+                cd, ci, ce = cap(*_merge_sorted(cd, ci, ce, dd, ii2, L))
                 return cd, ci, ce, vis, c + 1
 
             cand_d, cand_i, cand_e, visited, _ = jax.lax.while_loop(
@@ -191,8 +206,8 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
             d = batched_scores(queries, vecs, metric)
             d = jnp.where(fresh, d, jnp.inf)
             ii = jnp.where(fresh, nbrs, BIG)
-            cand_d, cand_i, cand_e = _merge_sorted(cand_d, cand_i, cand_e,
-                                                   d, ii, L)
+            cand_d, cand_i, cand_e = cap(*_merge_sorted(
+                cand_d, cand_i, cand_e, d, ii, L))
         cmps = cmps + jnp.sum(fresh, axis=1).astype(jnp.int32)
         if capture:
             slot = jnp.clip(hops, 0, R - 1)
@@ -210,7 +225,7 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
 
 
 def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
-                init_dists=None):
+                init_dists=None, L_eff=None):
     B = queries.shape[0]
     W = (N + 31) // 32
     ep_vec = base[ep][None, :]
@@ -247,6 +262,10 @@ def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
             [si, jnp.full((B, pad), BIG, jnp.int32)], axis=1)[:, :L]
         cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=2)
         cmps = jnp.full((B,), S + 1, jnp.int32)
+    if L_eff is not None:
+        live = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < L_eff
+        cand_d = jnp.where(live, cand_d, jnp.inf)
+        cand_i = jnp.where(live, cand_i, BIG)
     cand_e = jnp.zeros((B, L), jnp.int32)
     hops = jnp.zeros((B,), jnp.int32)
     ret_i = jnp.full((B, R), -1, jnp.int32)
@@ -286,6 +305,10 @@ def beam_search_batch(
                              # cmps/hops diverge from the reference accounting.
     init_ids: jnp.ndarray | None = None,    # [B, S] extra start candidates
     init_dists: jnp.ndarray | None = None,  # [B, S] their scores
+    L_eff: jnp.ndarray | None = None,       # dynamic queue capacity <= L:
+                                            # one compile serves a whole
+                                            # L_pq sweep (L is the padded
+                                            # static width)
 ) -> SearchResult:
     if expand_width > 1 and capture:
         raise ValueError("capture requires expand_width=1 (exact expansion "
@@ -299,9 +322,10 @@ def beam_search_batch(
     cond, body = _make_hop(adj, base, queries, self_ids, L=L, metric=metric,
                            capture=capture, R=R, exclude_self=exclude_self,
                            gather_chunk=gather_chunk,
-                           expand_width=expand_width)
+                           expand_width=expand_width, L_eff=L_eff)
     state = _init_state(base, queries, ep, L=L, metric=metric, N=N, R=R,
-                        init_ids=init_ids, init_dists=init_dists)
+                        init_ids=init_ids, init_dists=init_dists,
+                        L_eff=L_eff)
 
     def cond_max(st):
         return cond(st) & (st[8] < max_hops)
@@ -485,13 +509,17 @@ def search(
         init_ids = init_dists = None
         if seed_fn is not None:
             init_ids, init_dists = seed_fn(qd)
+        if config.L_bucket is not None:
+            L_static, L_eff = config.L_bucket, jnp.int32(config.L_pq)
+        else:
+            L_static, L_eff = config.L_pq, None
         res = beam_search_batch(
             adj, base_dev, qd, ep,
-            k=config.k, L=config.L_pq, metric=config.metric,
+            k=config.k, L=L_static, metric=config.metric,
             max_hops=config.effective_max_hops,
             gather_chunk=config.gather_chunk,
             expand_width=config.expand_width,
-            init_ids=init_ids, init_dists=init_dists)
+            init_ids=init_ids, init_dists=init_dists, L_eff=L_eff)
         pending.append((s, e, res))
     for s, e, res in pending:
         ids[s:e] = np.asarray(res.ids)[: e - s]

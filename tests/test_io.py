@@ -139,3 +139,32 @@ def test_check_min_results_raises(rng):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="not enough results"):
         rsearch.search(g, base, q, cfg)
+
+
+def test_projection_index_golden_bytes(tmp_path):
+    """Pin the exact reference byte layout: [u32 ep][u32 nd] then per node
+    [u32 deg][deg * u32 ids], little-endian (src/index_bipartite.cpp:2606)."""
+    import numpy as np
+    from roargraph_tpu import io as rio
+    p = str(tmp_path / "g.index")
+    rio.save_projection_index(p, ep=7, neighbors=[[3, 1], [], [2]])
+    raw = open(p, "rb").read()
+    expect = (b"\x07\x00\x00\x00"          # ep
+              b"\x03\x00\x00\x00"          # nd
+              b"\x02\x00\x00\x00\x03\x00\x00\x00\x01\x00\x00\x00"  # node 0
+              b"\x00\x00\x00\x00"          # node 1 (deg 0)
+              b"\x01\x00\x00\x00\x02\x00\x00\x00")                 # node 2
+    assert raw == expect
+
+
+def test_gt_golden_bytes(tmp_path):
+    import numpy as np
+    from roargraph_tpu import io as rio
+    p = str(tmp_path / "g.bin")
+    rio.save_gt(p, np.array([[1, 2]], np.uint32),
+                np.array([[0.5, 1.0]], np.float32))
+    raw = open(p, "rb").read()
+    expect = (b"\x01\x00\x00\x00" b"\x02\x00\x00\x00"   # npts, K
+              b"\x01\x00\x00\x00" b"\x02\x00\x00\x00"   # ids
+              b"\x00\x00\x00\x3f" b"\x00\x00\x80\x3f")  # 0.5f, 1.0f
+    assert raw == expect

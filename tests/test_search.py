@@ -189,3 +189,28 @@ def test_segmented_matches_plain(rng):
     np.testing.assert_allclose(p[1], s[1], rtol=1e-6)  # dists: XLA fusion
     np.testing.assert_array_equal(p[2], s[2])          # cmps exact
     np.testing.assert_array_equal(p[3], s[3])          # hops exact
+
+
+def test_dynamic_L_matches_static(rng):
+    """A bucketed (padded-width) queue with runtime capacity must behave
+    exactly like the statically-sized queue: same ids, cmps, hops."""
+    n, dim = 250, 10
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 6)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((40, dim)).astype(np.float32)
+    for L in (5, 17, 30):
+        stat = SearchConfig(k=5, L_pq=L, metric=Metric.IP, batch_size=40)
+        dyn = SearchConfig(k=5, L_pq=L, metric=Metric.IP, batch_size=40,
+                           L_bucket=32)
+        a = rsearch.search(g, base, queries, stat)
+        b = rsearch.search(g, base, queries, dyn)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_allclose(a[1], b[1], rtol=1e-6)
+        np.testing.assert_array_equal(a[2], b[2])
+        np.testing.assert_array_equal(a[3], b[3])
+
+
+def test_L_bucket_validation():
+    with pytest.raises(ValueError, match="L_bucket"):
+        SearchConfig(k=5, L_pq=64, L_bucket=32)
