@@ -36,6 +36,12 @@ def main(argv=None):
     p.add_argument("--evaluation_save_path", default="")
     p.add_argument("--engine", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("--batch_size", type=int, default=2048)
+    p.add_argument("--n_seeds", type=int, default=0,
+                   help="per-query start candidates from a coarse quantizer "
+                        "(built on the fly; 0 = medoid-only reference parity)")
+    p.add_argument("--L_bucket", type=int, default=None,
+                   help="pad the queue to this width so one compile serves "
+                        "the whole L_pq sweep (defaults to max L_pq)")
     args = p.parse_args(argv)
 
     metric = Metric.parse(args.dist)
@@ -59,10 +65,18 @@ def main(argv=None):
             return native.search_native(graph, base, queries, cfg,
                                         num_threads=args.num_threads)
     else:
+        sidx = None
+        if args.n_seeds:
+            from ..ops.seeds import build_seeds
+            sidx = build_seeds(base, n_centroids=max(256, base.shape[0] // 64),
+                               metric=metric)
+        bucket = args.L_bucket or max(args.L_pq)
+
         def fn(cfg: SearchConfig):
             cfg = SearchConfig(k=cfg.k, L_pq=cfg.L_pq, metric=cfg.metric,
-                               batch_size=args.batch_size)
-            return rsearch.search(graph, base, queries, cfg)
+                               batch_size=args.batch_size,
+                               n_seeds=args.n_seeds, L_bucket=bucket)
+            return rsearch.search(graph, base, queries, cfg, seeds=sidx)
 
     reval.sweep(fn, args.L_pq, np.asarray(gt_ids), k=args.k, metric=metric,
                 n_queries=queries.shape[0], gt_dists=np.asarray(gt_dists),

@@ -96,10 +96,13 @@ def sweep(
             print(f"{L}\t{qps:.1f}\t{row['avg_cmps']:.1f}\t"
                   f"{row['mean_latency_ms']:.3f}\t{rec:.4f}\t"
                   f"{row['avg_hops']:.1f}")
-    if csv_path:
-        with open(csv_path, "w", newline="") as f:
-            w = csv.writer(f)
-            for row in rows:
+        if csv_path:
+            # flush after every point (the reference appends per L_pq,
+            # ``tests/test_search_roargraph.cpp:233-236``) so a crashed sweep
+            # keeps its completed rows
+            mode = "w" if len(rows) == 1 else "a"
+            with open(csv_path, mode, newline="") as f:
+                w = csv.writer(f)
                 cols = [row["L_pq"], row["qps"], row["avg_cmps"],
                         row["mean_latency_ms"], row["recall"]]
                 if "rderr" in row:
