@@ -113,14 +113,16 @@ def main():
                              batch_size=batch, n_seeds=8, L_bucket=bucket)
         return search(graph, base, eval_q, c2, seeds=sidx)
 
-    log("TPU sweep (medoid start):")
-    tpu_rows = reval.sweep(tpu_fn, L_values, gt_ids, k=K,
-                           metric=rt.Metric.IP, n_queries=N_EVAL,
-                           verbose=True)
+    # The device degrades within long processes (tunnel tenancy); run the
+    # stronger seeded mode first so it gets the fast phase.
     log("TPU sweep (seeded start):")
     seeded_rows = reval.sweep(tpu_seeded_fn, L_values, gt_ids, k=K,
                               metric=rt.Metric.IP, n_queries=N_EVAL,
-                              verbose=True)
+                              verbose="stderr")
+    log("TPU sweep (medoid start):")
+    tpu_rows = reval.sweep(tpu_fn, L_values, gt_ids, k=K,
+                           metric=rt.Metric.IP, n_queries=N_EVAL,
+                           verbose="stderr")
     tpu_plain_qps = reval.qps_at_recall(tpu_rows, TARGET)
     tpu_seeded_qps = reval.qps_at_recall(seeded_rows, TARGET)
     tpu_qps = max([q for q in (tpu_plain_qps, tpu_seeded_qps)
@@ -139,7 +141,7 @@ def main():
 
         cpu_rows = reval.sweep(cpu_fn, L_values, gt_ids, k=K,
                                metric=rt.Metric.IP, n_queries=N_EVAL,
-                               warmup=False, verbose=True)
+                               warmup=False, verbose="stderr")
         cpu_qps = reval.qps_at_recall(cpu_rows, TARGET)
 
     value = tpu_qps if tpu_qps is not None else 0.0

@@ -13,6 +13,7 @@ Mirrors the reference drivers' protocol
 from __future__ import annotations
 
 import csv
+import sys
 import time
 from typing import Callable, Iterable, Sequence
 
@@ -63,8 +64,10 @@ def sweep(
 
     Returns a list of row dicts; optionally writes the reference's CSV."""
     rows = []
+    out = sys.stderr if verbose == "stderr" else sys.stdout
     if verbose:
-        print("L_pq\tQPS\tavg_visited\tmean_latency\trecall@%d\tavg_hops" % k)
+        print("L_pq\tQPS\tavg_visited\tmean_latency\trecall@%d\tavg_hops" % k,
+              file=out)
     for L in L_values:
         cfg = SearchConfig(k=k, L_pq=int(L), metric=metric)
         dt = float("inf")
@@ -95,7 +98,7 @@ def sweep(
         if verbose:
             print(f"{L}\t{qps:.1f}\t{row['avg_cmps']:.1f}\t"
                   f"{row['mean_latency_ms']:.3f}\t{rec:.4f}\t"
-                  f"{row['avg_hops']:.1f}")
+                  f"{row['avg_hops']:.1f}", file=out, flush=True)
         if csv_path:
             # flush after every point (the reference appends per L_pq,
             # ``tests/test_search_roargraph.cpp:233-236``) so a crashed sweep
