@@ -305,7 +305,7 @@ def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "L", "metric", "max_hops", "capture", "exclude_self",
-                     "gather_chunk", "expand_width"),
+                     "gather_chunk", "expand_width", "visited_dense"),
 )
 def beam_search_batch(
     adj: jnp.ndarray,       # [N, Mx] int32 padded adjacency
@@ -333,6 +333,7 @@ def beam_search_batch(
                                             # one compile serves a whole
                                             # L_pq sweep (L is the padded
                                             # static width)
+    visited_dense: bool | None = None,      # None = auto by bitmask width
 ) -> SearchResult:
     if expand_width > 1 and capture:
         raise ValueError("capture requires expand_width=1 (exact expansion "
@@ -346,7 +347,8 @@ def beam_search_batch(
     cond, body = _make_hop(adj, base, queries, self_ids, L=L, metric=metric,
                            capture=capture, R=R, exclude_self=exclude_self,
                            gather_chunk=gather_chunk,
-                           expand_width=expand_width, L_eff=L_eff)
+                           expand_width=expand_width, L_eff=L_eff,
+                           visited_dense=visited_dense)
     state = _init_state(base, queries, ep, L=L, metric=metric, N=N, R=R,
                         init_ids=init_ids, init_dists=init_dists,
                         L_eff=L_eff)

@@ -214,3 +214,34 @@ def test_dynamic_L_matches_static(rng):
 def test_L_bucket_validation():
     with pytest.raises(ValueError, match="L_bucket"):
         SearchConfig(k=5, L_pq=64, L_bucket=32)
+
+
+@pytest.mark.parametrize("chunk", [0, 8])
+def test_sparse_visited_matches_dense(rng, chunk):
+    """Small graphs auto-select the dense visited mode; the sparse
+    (gather/scatter bitmask) path used at large N must agree exactly."""
+    n, dim = 220, 8
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 9)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((16, dim)).astype(np.float32)
+    kw = dict(k=5, L=16, metric=Metric.IP, max_hops=10_000,
+              gather_chunk=chunk)
+    dense = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(0), visited_dense=True, **kw)
+    sparse = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(0), visited_dense=False, **kw)
+    np.testing.assert_array_equal(np.asarray(dense.ids),
+                                  np.asarray(sparse.ids))
+    np.testing.assert_array_equal(np.asarray(dense.cmps),
+                                  np.asarray(sparse.cmps))
+    np.testing.assert_array_equal(np.asarray(dense.hops),
+                                  np.asarray(sparse.hops))
+    # oracle anchor
+    for qi in range(4):
+        oids, _, ocmps, _ = oracle.beam_search(
+            lists, base, queries[qi], 0, 5, 16, "ip")
+        assert np.asarray(sparse.ids)[qi].tolist() == oids
+        assert np.asarray(sparse.cmps)[qi] == ocmps
