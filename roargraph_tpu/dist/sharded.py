@@ -64,34 +64,48 @@ class ShardedRoarGraph:
     eps: np.ndarray
     offsets: np.ndarray
     shard_sizes: np.ndarray
+    # optional per-shard coarse quantizer for seeded starts:
+    # seed_ids [S, C] local ids (PAD-filled), seed_vecs [S, C, D]
+    seed_ids: np.ndarray | None = None
+    seed_vecs: np.ndarray | None = None
 
     @property
     def num_shards(self) -> int:
         return self.adj.shape[0]
 
     def save_npz(self, path: str) -> None:
+        extra = {}
+        if self.seed_ids is not None:
+            extra = dict(seed_ids=self.seed_ids, seed_vecs=self.seed_vecs)
         np.savez_compressed(path, adj=self.adj, base=self.base, eps=self.eps,
-                            offsets=self.offsets, shard_sizes=self.shard_sizes)
+                            offsets=self.offsets,
+                            shard_sizes=self.shard_sizes, **extra)
 
     @staticmethod
     def load_npz(path: str) -> "ShardedRoarGraph":
         with np.load(path) as z:
-            return ShardedRoarGraph(z["adj"], z["base"], z["eps"],
-                                    z["offsets"], z["shard_sizes"])
+            return ShardedRoarGraph(
+                z["adj"], z["base"], z["eps"], z["offsets"],
+                z["shard_sizes"],
+                seed_ids=z["seed_ids"] if "seed_ids" in z else None,
+                seed_vecs=z["seed_vecs"] if "seed_vecs" in z else None)
 
 
 def build_sharded(base, train_knn_fn, cfg: BuildConfig, n_shards: int,
-                  *, verbose: bool = False) -> ShardedRoarGraph:
+                  *, verbose: bool = False,
+                  seed_centroids: int = 0) -> ShardedRoarGraph:
     """Partition the base set and build one RoarGraph per shard.
 
     ``train_knn_fn(shard_base) -> [Nq, M_sq]`` computes the training-query NN
-    lists against one shard (callers close over the training queries)."""
+    lists against one shard (callers close over the training queries).
+    ``seed_centroids > 0`` additionally builds a per-shard coarse quantizer
+    for seeded starts."""
     from ..build import build_roargraph
 
     base = np.asarray(base)
     N, D = base.shape
     n_s = (N + n_shards - 1) // n_shards
-    adjs, bases, eps, offs, sizes = [], [], [], [], []
+    adjs, bases, eps, offs, sizes, seeds = [], [], [], [], [], []
     width = 0
     for s in range(n_shards):
         lo, hi = s * n_s, min((s + 1) * n_s, N)
@@ -100,6 +114,10 @@ def build_sharded(base, train_knn_fn, cfg: BuildConfig, n_shards: int,
         g, _ = build_roargraph(shard, knn_ids, cfg, verbose=verbose)
         adjs.append(g.ids)
         width = max(width, g.ids.shape[1])
+        if seed_centroids:
+            from ..ops.seeds import build_seeds
+            seeds.append(build_seeds(shard, n_centroids=seed_centroids,
+                                     metric=cfg.metric))
         if shard.shape[0] < n_s:
             shard = np.concatenate(
                 [shard, np.zeros((n_s - shard.shape[0], D), shard.dtype)])
@@ -110,10 +128,20 @@ def build_sharded(base, train_knn_fn, cfg: BuildConfig, n_shards: int,
     adj = np.full((n_shards, n_s, width), PAD, np.int32)
     for s, a in enumerate(adjs):
         adj[s, : a.shape[0], : a.shape[1]] = a
+    seed_ids = seed_vecs = None
+    if seed_centroids:
+        C = max(si.seed_ids.size for si in seeds)
+        seed_ids = np.full((n_shards, C), PAD, np.int32)
+        seed_vecs = np.zeros((n_shards, C, D), base.dtype)
+        for s, si in enumerate(seeds):
+            c = si.seed_ids.size
+            seed_ids[s, :c] = si.seed_ids
+            seed_vecs[s, :c] = si.seed_vecs
     return ShardedRoarGraph(adj=adj, base=np.stack(bases),
                             eps=np.array(eps, np.int32),
                             offsets=np.array(offs, np.int32),
-                            shard_sizes=np.array(sizes, np.int32))
+                            shard_sizes=np.array(sizes, np.int32),
+                            seed_ids=seed_ids, seed_vecs=seed_vecs)
 
 
 # ---------------------------------------------------------------------------
@@ -121,18 +149,35 @@ def build_sharded(base, train_knn_fn, cfg: BuildConfig, n_shards: int,
 # ---------------------------------------------------------------------------
 
 def sharded_search_step(mesh: Mesh, *, k: int, L: int, metric: Metric,
-                        max_hops: int):
+                        max_hops: int, n_seeds: int = 0):
     """Build the jitted SPMD search step for a given mesh/config.
 
     Returned fn: (adj [S,N_s,W], base [S,N_s,D], eps [S], offsets [S],
-    queries [B,D]) -> (ids [B,k] global, dists [B,k]); B must divide by dp.
+    queries [B,D][, seed_ids [S,C], seed_vecs [S,C,D]])
+    -> (ids [B,k] global, dists [B,k]); B must divide by dp. With
+    ``n_seeds > 0`` every shard seeds each query from its own coarse
+    quantizer (one local matmul) before walking its sub-graph.
     """
 
-    def local(adj, base, eps, offsets, queries):
+    def local(adj, base, eps, offsets, queries, seed_ids=None,
+              seed_vecs=None):
         # one shard's block: leading axis length 1 under shard_map
+        init_ids = init_d = None
+        if n_seeds:
+            from ..ops.distance import pairwise_scores
+            d = pairwise_scores(queries, seed_vecs[0], metric)   # [B, C]
+            d = jnp.where(seed_ids[0][None, :] == PAD, jnp.inf, d)
+            neg_top, pos = jax.lax.top_k(-d, n_seeds)
+            init_d = -neg_top
+            init_ids = jnp.where(
+                jnp.isfinite(init_d),
+                jnp.clip(seed_ids[0][pos], 0, adj.shape[1] - 1),
+                jnp.int32(2**31 - 1))
+            init_d = jnp.where(jnp.isfinite(init_d), init_d, jnp.inf)
         res = beam_search_batch(
             adj[0], base[0], queries, eps[0],
-            k=k, L=L, metric=metric, max_hops=max_hops)
+            k=k, L=L, metric=metric, max_hops=max_hops,
+            init_ids=init_ids, init_dists=init_d)
         gids = jnp.where(res.ids >= 0, res.ids + offsets[0], jnp.int32(BIG))
         gd = jnp.where(res.ids >= 0, res.dists, jnp.inf)
         # global top-k merge across the shard axis (rides ICI)
@@ -145,9 +190,12 @@ def sharded_search_step(mesh: Mesh, *, k: int, L: int, metric: Metric,
         out_i = jnp.where(si[:, :k] == BIG, -1, si[:, :k])
         return out_i, sd[:, :k]
 
+    specs = [P("shard"), P("shard"), P("shard"), P("shard"), P("dp")]
+    if n_seeds:
+        specs += [P("shard"), P("shard")]
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P("shard"), P("shard"), P("dp")),
+        in_specs=tuple(specs),
         out_specs=(P("dp"), P("dp")),
         check_vma=False)
     return jax.jit(fn)
@@ -166,11 +214,16 @@ def sharded_search(index: ShardedRoarGraph, queries, cfg: SearchConfig,
     if pad:
         queries = np.concatenate(
             [queries, np.zeros((pad, queries.shape[1]), queries.dtype)])
+    n_seeds = cfg.n_seeds if index.seed_ids is not None else 0
     step = sharded_search_step(mesh, k=cfg.k, L=cfg.L_pq, metric=cfg.metric,
-                               max_hops=cfg.effective_max_hops)
-    ids, dists = step(jnp.asarray(index.adj), jnp.asarray(index.base),
-                      jnp.asarray(index.eps), jnp.asarray(index.offsets),
-                      jnp.asarray(queries))
+                               max_hops=cfg.effective_max_hops,
+                               n_seeds=n_seeds)
+    args = [jnp.asarray(index.adj), jnp.asarray(index.base),
+            jnp.asarray(index.eps), jnp.asarray(index.offsets),
+            jnp.asarray(queries)]
+    if n_seeds:
+        args += [jnp.asarray(index.seed_ids), jnp.asarray(index.seed_vecs)]
+    ids, dists = step(*args)
     ids, dists = np.asarray(ids), np.asarray(dists)
     return ids[:Q], dists[:Q]
 

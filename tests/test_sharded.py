@@ -63,3 +63,32 @@ def test_sharded_search_global_ids_valid(rng):
     assert (ids >= 0).all() and (ids < 300).all()
     # results from both shards appear
     assert (ids < 150).any() and (ids >= 150).any()
+
+
+def test_sharded_search_with_seeds(rng):
+    base, train_q = make_crossmodal(rng, n_base=600, n_query=500, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=48, dim=16)[1]
+    cfg = rt.BuildConfig(metric="ip", M_sq=20, M_pjbp=6, L_pjpq=30,
+                         prune_batch=256, search_batch=128)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=4, seed_centroids=16)
+    assert index.seed_ids is not None and index.seed_ids.shape[0] == 4
+    mesh = make_mesh(4, 2)
+    gt_ids, _ = knn(eval_q, base, k=10, metric="ip")
+
+    plain = sharded_search(index, eval_q,
+                           rt.SearchConfig(k=10, L_pq=40, metric="ip"),
+                           mesh=mesh)
+    seeded = sharded_search(index, eval_q,
+                            rt.SearchConfig(k=10, L_pq=40, metric="ip",
+                                            n_seeds=4),
+                            mesh=mesh)
+    r_plain = reval.recall_at_k(plain[0], gt_ids, 10)
+    r_seed = reval.recall_at_k(seeded[0], gt_ids, 10)
+    assert r_seed >= r_plain - 0.05, (r_seed, r_plain)
+    for row in seeded[0]:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
