@@ -62,6 +62,8 @@ def main():
     log(f"platform: {platform}, devices: {jax.devices()}")
 
     base, train_q, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
+    import jax.numpy as jnp
+    base_dev = jnp.asarray(base)  # single upload shared by gt/build/search
     cfg = rt.BuildConfig(metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
                          prune_batch=1024, search_batch=1024)
 
@@ -73,18 +75,19 @@ def main():
         log(f"loaded cached index {cache}")
     else:
         t0 = time.time()
-        train_ids, _ = knn(train_q, base, k=cfg.M_sq, metric="ip",
+        train_ids, _ = knn(train_q, base_dev, k=cfg.M_sq, metric="ip",
                            query_batch=8192)
         gt_s = time.time() - t0
         log(f"groundtruth: {gt_s:.1f}s for {N_TRAIN}x{N} k={cfg.M_sq}")
         t0 = time.time()
-        graph, report = build_roargraph(base, train_ids, cfg, verbose=True)
+        graph, report = build_roargraph(base_dev, train_ids, cfg,
+                                        verbose=True)
         build_s = time.time() - t0
         log(f"build: {build_s:.1f}s  stats={report.stats}")
         os.makedirs("build", exist_ok=True)
         graph.save_npz(cache)
 
-    gt_ids, _ = knn(eval_q, base, k=K, metric="ip")
+    gt_ids, _ = knn(eval_q, base_dev, k=K, metric="ip")
 
     # --- coarse quantizer for seeded starts (cached with the index) ---
     from roargraph_tpu.ops.seeds import SeedIndex, build_seeds
@@ -106,12 +109,12 @@ def main():
     def tpu_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
                              batch_size=batch, L_bucket=bucket)
-        return search(graph, base, eval_q, c2)
+        return search(graph, base_dev, eval_q, c2)
 
     def tpu_seeded_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
                              batch_size=batch, n_seeds=8, L_bucket=bucket)
-        return search(graph, base, eval_q, c2, seeds=sidx)
+        return search(graph, base_dev, eval_q, c2, seeds=sidx)
 
     # The device degrades within long processes (tunnel tenancy); run the
     # stronger seeded mode first so it gets the fast phase.

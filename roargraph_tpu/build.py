@@ -445,7 +445,8 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
     Returns (PaddedGraph, BuildReport).
     """
     cfg = cfg or BuildConfig()
-    base = np.asarray(base)
+    # accept either host or device-resident vectors; a jax array passes
+    # through without a fresh 100s-scale upload over the device link
     N = base.shape[0]
     base_dev = jnp.asarray(base)
     t0 = time.perf_counter()
