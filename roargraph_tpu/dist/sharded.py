@@ -238,6 +238,9 @@ def sharded_knn_step(mesh: Mesh, *, k: int, metric: Metric, tile: int = 2048):
 
     def local(queries, base, offsets, sizes):
         ids, d = knn_tiled(queries, base[0], k=k, metric=metric, tile=tile)
+        # Padding rows beyond a shard's true size would otherwise score
+        # finitely (0 for IP, |q|^2 for L2) and displace genuine neighbors
+        # inside the per-shard top-k before the validity mask runs.
         valid = ids < sizes[0]
         gids = jnp.where(valid, ids + offsets[0], jnp.int32(BIG))
         gd = jnp.where(valid, d, jnp.inf)
@@ -269,11 +272,16 @@ def sharded_knn(queries, base, k: int, metric, mesh: Mesh | None = None,
     dp = mesh.shape["dp"]
     N, D = base.shape
     n_s = (N + S - 1) // S
-    sizes = np.array([min(n_s, N - s * n_s) for s in range(S)], np.int32)
+    sizes = np.array([max(0, min(n_s, N - s * n_s)) for s in range(S)],
+                     np.int32)
     offsets = np.arange(S, dtype=np.int32) * n_s
-    padded = np.zeros((S, n_s, D), base.dtype)
+    # Pad with +inf rows: knn_tiled masks non-finite scores to +inf, so
+    # padding can never displace genuine neighbors inside a shard's top-k
+    # (zero rows would score finitely — 0 for IP, |q|^2 for L2).
+    padded = np.full((S, n_s, D), np.inf, base.dtype)
     for s in range(S):
-        padded[s, : sizes[s]] = base[s * n_s: s * n_s + sizes[s]]
+        if sizes[s]:
+            padded[s, : sizes[s]] = base[s * n_s: s * n_s + sizes[s]]
     Q = queries.shape[0]
     pad = (-Q) % dp
     if pad:

@@ -272,6 +272,10 @@ def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
         si, sd = jax.lax.sort((all_i, all_d), num_keys=1)
         dup = jnp.concatenate(
             [jnp.zeros((B, 1), bool), si[:, 1:] == si[:, :-1]], axis=1)
+        # sentinel/invalid seed ids (BIG from an underfull quantizer shard)
+        # must not touch the bitmask: clipping them to N-1 would both mark a
+        # real node visited and double-scatter its bit
+        dup = dup | (si < 0) | (si >= N)
         safe = jnp.clip(si, 0, N - 1)
         bits = jnp.where(dup, jnp.uint32(0),
                          jnp.uint32(1) << (safe % 32).astype(jnp.uint32))
@@ -498,6 +502,12 @@ def search(
 
     Returns numpy (ids [Q, k], dists [Q, k], cmps [Q], hops [Q])."""
     if config.segmented:
+        if seeds is not None and config.n_seeds > 0:
+            raise ValueError("segmented search does not support seeded "
+                             "starts yet; use segmented=False with seeds")
+        if config.check_min_results:
+            raise ValueError("segmented search does not support "
+                             "check_min_results; use segmented=False")
         return search_segmented(graph, base, queries, config,
                                 segment=config.segment_hops)
     adj = jnp.asarray(graph.ids)

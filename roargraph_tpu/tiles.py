@@ -1,0 +1,383 @@
+"""Tile-graph serving engine — the TPU-native redesign of the query hot path.
+
+The reference's unit of navigation is a single vector because a CPU does
+cheap scalar loads: ``SearchRoarGraph`` walks node by node, prefetching one
+800-byte vector at a time (``src/index_bipartite.cpp:2356-2404``,
+``:2374-2375``). On TPU the economics invert — random row gathers run at a
+few percent of HBM bandwidth (measured ~18 ns/element, DESIGN.md) while
+sequential block reads + MXU contractions run near speed of light. The
+TPU-native navigation unit is therefore an **MXU tile**: the base set is
+partitioned into fixed-size clusters stored contiguously; search walks a
+small graph over *clusters* and scores a whole cluster with one batched
+contraction per expansion.
+
+Cross-modal navigability — the point of RoarGraph — is inherited, not
+discarded: the cluster adjacency aggregates the vector-level projection
+edges (built from training-query groundtruth, ``LinkProjection``
+``src/index_bipartite.cpp:1043-1277``), so the learned query→base match
+structure still drives navigation; the centroid ranking only orders the
+frontier. ``use_graph=False`` degenerates to plain IVF probing (centroid
+ranking alone) for A/B comparison.
+
+Scores are exact within each scanned cluster (same distance kernels as the
+flat engine), so recall is a pure function of *which* clusters get scanned.
+
+Counters: ``cmps`` = vectors scored (analog of the reference's distance
+comparisons, ``:2419``), ``hops`` = clusters expanded.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Metric
+from .graph import PAD, PaddedGraph
+from .ops.distance import pairwise_scores
+
+BIG = jnp.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------------------
+# Index container
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TileIndex:
+    """Base vectors reordered into K fixed-size clusters + a cluster graph.
+
+    - ``tiles``     [K, C, D]  vectors, contiguous per cluster (pad slots 0)
+    - ``gids``      [K, C] int32 original base ids (PAD for pad slots)
+    - ``centroids`` [K, D] cluster means (f32)
+    - ``adj``       [K, Mc] int32 cluster adjacency (PAD-filled), built from
+                    the RoarGraph's vector-level edges
+    - ``ep``        int, entry cluster (cluster of the graph medoid)
+    """
+    tiles: np.ndarray
+    gids: np.ndarray
+    centroids: np.ndarray
+    adj: np.ndarray
+    ep: int
+
+    @property
+    def num_clusters(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def cluster_size(self) -> int:
+        return self.tiles.shape[1]
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(path, tiles=self.tiles, gids=self.gids,
+                            centroids=self.centroids, adj=self.adj,
+                            ep=np.int64(self.ep))
+
+    @staticmethod
+    def load_npz(path: str) -> "TileIndex":
+        with np.load(path) as z:
+            return TileIndex(z["tiles"], z["gids"], z["centroids"],
+                             z["adj"], int(z["ep"]))
+
+    def astype(self, dtype) -> "TileIndex":
+        """Cast tile storage (e.g. bfloat16 halves scan bytes; scores then
+        accumulate in f32 via ``preferred_element_type``)."""
+        return dataclasses.replace(self, tiles=self.tiles.astype(dtype))
+
+
+# ---------------------------------------------------------------------------
+# Build: balanced clustering + cluster graph from RoarGraph edges
+# ---------------------------------------------------------------------------
+
+def _balanced_assign(base: np.ndarray, n_clusters: int, cap: int, *,
+                     iters: int = 6, seed: int = 0,
+                     n_choices: int = 8) -> np.ndarray:
+    """Capacity-constrained k-means assignment: every cluster gets at most
+    ``cap`` members. Returns assign [N] int64.
+
+    Vectorized greedy rounds: round j offers every still-unassigned point its
+    j-th-closest centroid; within a round, closer points win the remaining
+    slots (rank-within-cluster via one lexsort). Leftovers after
+    ``n_choices`` rounds fill arbitrary free slots.
+    """
+    from .ops.seeds import _kmeans
+    from .ops.topk import knn
+
+    n = base.shape[0]
+    cents = np.asarray(_kmeans(jnp.asarray(base), jax.random.PRNGKey(seed),
+                               n_centroids=n_clusters, iters=iters))
+    n_choices = min(n_choices, n_clusters)
+    # per-point closest centroids (exact, tiled on device)
+    choice_ids, choice_d = knn(base, cents, k=n_choices, metric=Metric.L2)
+    choice_ids = choice_ids.astype(np.int64)
+
+    assign = np.full(n, -1, np.int64)
+    used = np.zeros(n_clusters, np.int64)
+    for j in range(n_choices):
+        todo = np.flatnonzero(assign < 0)
+        if todo.size == 0:
+            break
+        c = choice_ids[todo, j]
+        d = choice_d[todo, j]
+        order = np.lexsort((d, c))
+        c_s, todo_s = c[order], todo[order]
+        is_first = np.empty(c_s.size, bool)
+        if c_s.size:
+            is_first[0] = True
+            is_first[1:] = c_s[1:] != c_s[:-1]
+        idx = np.arange(c_s.size)
+        first_idx = np.maximum.accumulate(np.where(is_first, idx, 0))
+        rank = idx - first_idx
+        ok = used[c_s] + rank < cap
+        assign[todo_s[ok]] = c_s[ok]
+        used += np.bincount(c_s[ok], minlength=n_clusters)
+    todo = np.flatnonzero(assign < 0)
+    if todo.size:
+        free = cap - used
+        slots = np.repeat(np.arange(n_clusters), np.maximum(free, 0))
+        assign[todo] = slots[: todo.size]
+    return assign
+
+
+def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
+                Mc: int = 32, metric: Metric | str = Metric.IP,
+                kmeans_iters: int = 6, seed: int = 0,
+                centroid_knn_edges: int = 4) -> TileIndex:
+    """Build the tile index over an existing RoarGraph.
+
+    Cluster adjacency = per source cluster, the ``Mc`` clusters receiving the
+    most vector-level RoarGraph edges (symmetrized), unioned with each
+    cluster's ``centroid_knn_edges`` nearest centroids as a geometric backstop
+    so sparse regions stay reachable.
+    """
+    from .ops.topk import knn
+
+    Metric.parse(metric)
+    base = np.asarray(base)
+    N, D = base.shape
+    C = int(cluster_size)
+    K = max(1, -(-N // C))
+    assign = _balanced_assign(base, K, C, iters=kmeans_iters, seed=seed)
+
+    # ---- reorder into tiles ------------------------------------------------
+    order = np.argsort(assign, kind="stable")
+    counts = np.bincount(assign, minlength=K)
+    gids = np.full((K, C), PAD, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for kk in range(K):
+        m = counts[kk]
+        gids[kk, :m] = order[starts[kk]: starts[kk] + m]
+    tiles = np.zeros((K, C, D), base.dtype)
+    valid = gids != PAD
+    tiles[valid] = base[gids[valid]]
+    centroids = np.zeros((K, D), np.float32)
+    nz = counts > 0
+    sums = np.zeros((K, D), np.float64)
+    np.add.at(sums, assign, base.astype(np.float64))
+    centroids[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+
+    # ---- cluster graph from vector-level RoarGraph edges -------------------
+    src_c = np.repeat(assign, graph.ids.shape[1])
+    dst = graph.ids.ravel().astype(np.int64)
+    ok = dst != PAD
+    src_c, dst = src_c[ok], dst[ok]
+    dst_c = assign[dst]
+    cross = src_c != dst_c
+    src_c, dst_c = src_c[cross], dst_c[cross]
+    # symmetrize: co-access is direction-free at cluster granularity
+    a = np.concatenate([src_c, dst_c])
+    b = np.concatenate([dst_c, src_c])
+    keys, cnt = np.unique(a * K + b, return_counts=True)
+    e_src, e_dst = keys // K, keys % K
+    # top-Mc destinations per source by edge count (desc), count ties by id
+    o = np.lexsort((e_dst, -cnt, e_src))
+    e_src, e_dst = e_src[o], e_dst[o]
+    is_first = np.empty(e_src.size, bool)
+    if e_src.size:
+        is_first[0] = True
+        is_first[1:] = e_src[1:] != e_src[:-1]
+    idx = np.arange(e_src.size)
+    rank = idx - np.maximum.accumulate(np.where(is_first, idx, 0))
+    keep = rank < Mc
+    adj = np.full((K, Mc), PAD, np.int32)
+    adj[e_src[keep], rank[keep]] = e_dst[keep].astype(np.int32)
+
+    # geometric backstop edges (nearest centroids, excluding self)
+    if K > 1 and centroid_knn_edges > 0:
+        nn_ids, _ = knn(centroids, centroids,
+                        k=min(centroid_knn_edges + 1, K), metric=Metric.L2)
+        for kk in range(K):
+            have = set(adj[kk][adj[kk] != PAD].tolist())
+            slot = int((adj[kk] != PAD).sum())
+            for cand in nn_ids[kk]:
+                cand = int(cand)
+                if cand == kk or cand in have or slot >= Mc:
+                    continue
+                adj[kk, slot] = cand
+                have.add(cand)
+                slot += 1
+
+    ep = int(assign[graph.ep])
+    return TileIndex(tiles=tiles, gids=gids, centroids=centroids.astype(
+        base.dtype if base.dtype == np.float32 else np.float32), adj=adj,
+        ep=ep)
+
+
+# ---------------------------------------------------------------------------
+# Search
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "T", "Lc", "metric", "use_graph"))
+def tile_search_batch(
+    tiles: jnp.ndarray,      # [K, C, D]
+    gids: jnp.ndarray,       # [K, C] int32
+    centroids: jnp.ndarray,  # [K, D]
+    adj: jnp.ndarray,        # [K, Mc] int32
+    queries: jnp.ndarray,    # [B, D]
+    *,
+    k: int,
+    T: int,                  # clusters scanned per query (the sweep knob)
+    Lc: int,                 # cluster-queue width (>= T)
+    metric: Metric,
+    use_graph: bool = True,
+):
+    """Lockstep tile search: a fixed ``T``-step fori_loop (static shapes, no
+    data-dependent control flow), one MXU contraction per expanded cluster.
+
+    Returns (ids [B, k] int32 global, dists [B, k], cmps [B], hops [B]).
+    """
+    K, C, D = tiles.shape
+    B = queries.shape[0]
+    Wc = (K + 31) // 32
+    Lc = min(Lc, K)
+
+    # frontier ordering: all-centroid scores, one [B, K] contraction
+    s = pairwise_scores(queries, centroids, metric,
+                        precision=jax.lax.Precision.DEFAULT)     # [B, K]
+    q_d, q_i = jax.lax.top_k(-s, Lc)
+    q_d, q_i = -q_d, q_i.astype(jnp.int32)
+    q_e = jnp.zeros((B, Lc), jnp.int32)
+
+    rk_d = jnp.full((B, k), jnp.inf, jnp.float32)
+    rk_i = jnp.full((B, k), BIG, jnp.int32)
+    visited = jnp.zeros((B, Wc), jnp.uint32)
+    cmps = jnp.zeros((B,), jnp.int32)
+    hops = jnp.zeros((B,), jnp.int32)
+    b_arange = jnp.arange(B)
+    qf = queries.astype(jnp.float32)
+
+    def hop(_, state):
+        q_d, q_i, q_e, visited, rk_d, rk_i, cmps, hops = state
+        unexp = (q_e == 0) & (q_i != BIG)
+        active = jnp.any(unexp, axis=1)
+        jj = jnp.argmax(unexp, axis=1)
+        f = jnp.where(active, q_i[b_arange, jj], 0)
+        q_e = q_e.at[b_arange, jj].set(jnp.where(active, 1, q_e[b_arange, jj]))
+
+        # visited bit for the expanded cluster (K is small: dense ops)
+        w, bit = f // 32, jnp.uint32(1) << (f % 32).astype(jnp.uint32)
+        visited = visited.at[b_arange, w].set(
+            jnp.where(active, visited[b_arange, w] | bit,
+                      visited[b_arange, w]))
+
+        # ---- scan the cluster: one sequential block read + one matmul ----
+        tile = tiles[f]                                   # [B, C, D] blocks
+        ids = gids[f]                                     # [B, C]
+        dots = jax.lax.dot_general(
+            tile, qf, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [B, C]
+        if metric is Metric.L2:
+            qn = jnp.sum(qf * qf, axis=1, keepdims=True)
+            vn = jnp.sum(tile.astype(jnp.float32) ** 2, axis=2)
+            sc = qn + vn - 2.0 * dots
+        else:
+            sc = -dots
+        live = (ids != PAD) & active[:, None]
+        sc = jnp.where(live, sc, jnp.inf)
+        ids = jnp.where(live, ids, BIG)
+
+        # merge into the running top-k
+        all_d = jnp.concatenate([rk_d, sc], axis=1)
+        all_i = jnp.concatenate([rk_i, ids], axis=1)
+        neg, pos = jax.lax.top_k(-all_d, k)
+        rk_d = -neg
+        rk_i = jnp.take_along_axis(all_i, pos, axis=1)
+
+        if use_graph:
+            # merge unvisited graph neighbors into the cluster queue, ranked
+            # by their precomputed centroid score
+            nbr = adj[f]                                  # [B, Mc]
+            n_ok = (nbr != PAD) & active[:, None]
+            n_safe = jnp.clip(nbr, 0, K - 1)
+            seen = (visited[b_arange[:, None], n_safe // 32] >>
+                    (n_safe % 32).astype(jnp.uint32)) & 1
+            queued = jnp.any(q_i[:, :, None] == n_safe[:, None, :], axis=1)
+            n_ok = n_ok & (seen == 0) & ~queued
+            n_d = jnp.where(n_ok, s[b_arange[:, None], n_safe], jnp.inf)
+            n_i = jnp.where(n_ok, nbr, BIG)
+            all_qd = jnp.concatenate([q_d, n_d], axis=1)
+            all_qi = jnp.concatenate([q_i, n_i], axis=1)
+            all_qe = jnp.concatenate([q_e, jnp.zeros_like(n_i)], axis=1)
+            all_qd, all_qi, all_qe = jax.lax.sort(
+                (all_qd, all_qi, all_qe), num_keys=2)
+            q_d, q_i, q_e = (all_qd[:, :Lc], all_qi[:, :Lc], all_qe[:, :Lc])
+
+        cmps = cmps + jnp.where(active, jnp.sum(live, axis=1), 0)
+        hops = hops + active.astype(jnp.int32)
+        return q_d, q_i, q_e, visited, rk_d, rk_i, cmps, hops
+
+    state = (q_d, q_i, q_e, visited, rk_d, rk_i, cmps, hops)
+    state = jax.lax.fori_loop(0, T, hop, state)
+    _, _, _, _, rk_d, rk_i, cmps, hops = state
+    out_i = jnp.where(rk_i == BIG, -1, rk_i)
+    return out_i, rk_d, cmps, hops
+
+
+def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
+                Lc: int | None = None, metric: Metric | str = Metric.IP,
+                use_graph: bool = True, batch_size: int = 2048,
+                device_arrays: tuple | None = None):
+    """Host wrapper: loop device-sized query blocks; returns numpy
+    (ids [Q, k], dists [Q, k], cmps [Q], hops [Q]).
+
+    ``device_arrays`` — optional pre-uploaded (tiles, gids, centroids, adj)
+    to share one upload across sweep points."""
+    metric = Metric.parse(metric)
+    if device_arrays is None:
+        device_arrays = upload(index)
+    tiles, gids, cents, adj = device_arrays
+    queries = np.asarray(queries)
+    Q = queries.shape[0]
+    Lc = Lc or max(T, 2 * T)
+    Bsz = min(batch_size, Q) if Q else batch_size
+    ids = np.empty((Q, k), np.int32)
+    dists = np.empty((Q, k), np.float32)
+    cmps = np.empty((Q,), np.int32)
+    hops = np.empty((Q,), np.int32)
+    pending = []
+    for s in range(0, Q, Bsz):
+        e = min(s + Bsz, Q)
+        qb = queries[s:e]
+        if e - s < Bsz:
+            qb = np.concatenate(
+                [qb, np.zeros((Bsz - (e - s), qb.shape[1]), qb.dtype)])
+        res = tile_search_batch(tiles, gids, cents, adj, jnp.asarray(qb),
+                                k=k, T=T, Lc=Lc, metric=metric,
+                                use_graph=use_graph)
+        pending.append((s, e, res))
+    for s, e, res in pending:
+        ids[s:e] = np.asarray(res[0])[: e - s]
+        dists[s:e] = np.asarray(res[1])[: e - s]
+        cmps[s:e] = np.asarray(res[2])[: e - s]
+        hops[s:e] = np.asarray(res[3])[: e - s]
+    return ids, dists, cmps, hops
+
+
+def upload(index: TileIndex) -> tuple:
+    """One-time device upload of the searchable arrays."""
+    return (jnp.asarray(index.tiles), jnp.asarray(index.gids),
+            jnp.asarray(index.centroids), jnp.asarray(index.adj))

@@ -1,0 +1,122 @@
+"""Tile-graph engine tests: build invariants, exactness at full scan,
+recall behavior vs the brute-force oracle, bf16 storage."""
+import numpy as np
+import pytest
+
+import roargraph_tpu as rt
+from roargraph_tpu.build import build_roargraph
+from roargraph_tpu.graph import PAD
+from roargraph_tpu.ops.topk import knn
+from roargraph_tpu.tiles import TileIndex, build_tiles, tile_search
+
+from conftest import make_crossmodal
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    base, queries = make_crossmodal(rng, n_base=2000, n_query=200, dim=16)
+    train_q = make_crossmodal(rng, n_base=1, n_query=800, dim=16)[1]
+    train_ids, _ = knn(train_q, base, k=32, metric="ip")
+    cfg = rt.BuildConfig(metric="ip", M_sq=32, M_pjbp=8, L_pjpq=40,
+                         prune_batch=256, search_batch=128)
+    graph, _ = build_roargraph(base, train_ids, cfg)
+    tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="ip")
+    gt_ids, _ = knn(queries, base, k=10, metric="ip")
+    return base, queries, graph, tidx, gt_ids
+
+
+def recall(ids, gt_ids, k=10):
+    return np.mean([len(set(ids[i, :k].tolist()) &
+                        set(gt_ids[i, :k].tolist())) / k
+                    for i in range(ids.shape[0])])
+
+
+def test_build_invariants(setup):
+    base, _, _, tidx, _ = setup
+    N = base.shape[0]
+    K, C = tidx.gids.shape
+    assert K == -(-N // 64)
+    flat = tidx.gids[tidx.gids != PAD]
+    # every base id exactly once, none invented
+    assert flat.size == N
+    assert np.array_equal(np.sort(flat), np.arange(N))
+    # tiles hold the right vectors
+    kk, cc = 3, 0
+    gid = tidx.gids[kk, cc]
+    assert np.allclose(tidx.tiles[kk, cc], base[gid])
+    # adjacency: in range, no self loops
+    adj = tidx.adj
+    valid = adj != PAD
+    assert (adj[valid] >= 0).all() and (adj[valid] < K).all()
+    assert not (adj == np.arange(K)[:, None]).any()
+    assert 0 <= tidx.ep < K
+
+
+def test_full_scan_is_exact(setup):
+    base, queries, _, tidx, gt_ids = setup
+    K = tidx.num_clusters
+    ids, dists, cmps, hops = tile_search(
+        tidx, queries, k=10, T=K, Lc=K, metric="ip", batch_size=256)
+    assert recall(ids, gt_ids) == 1.0
+    # every real vector scored exactly once
+    assert (cmps == base.shape[0]).all()
+    assert (hops == K).all()
+    # distances match the oracle
+    _, gt_d = knn(queries, base, k=10, metric="ip")
+    np.testing.assert_allclose(dists, gt_d, rtol=1e-4, atol=1e-5)
+
+
+def test_recall_increases_with_T(setup):
+    _, queries, _, tidx, gt_ids = setup
+    recs = []
+    for T in (2, 8, 16):
+        ids, _, cmps, hops = tile_search(tidx, queries, k=10, T=T,
+                                         Lc=2 * T, metric="ip",
+                                         batch_size=256)
+        assert (hops == T).all()
+        recs.append(recall(ids, gt_ids))
+    assert recs[0] <= recs[1] <= recs[2]
+    assert recs[-1] > 0.8
+
+
+def test_graph_mode_vs_ivf(setup):
+    _, queries, _, tidx, gt_ids = setup
+    ids_g, _, _, _ = tile_search(tidx, queries, k=10, T=8, Lc=16,
+                                 metric="ip", use_graph=True, batch_size=256)
+    ids_i, _, _, _ = tile_search(tidx, queries, k=10, T=8, Lc=16,
+                                 metric="ip", use_graph=False, batch_size=256)
+    # both modes must work; graph mode may only help
+    assert recall(ids_i, gt_ids) > 0.4
+    assert recall(ids_g, gt_ids) >= recall(ids_i, gt_ids) - 0.05
+
+
+def test_bf16_storage(setup):
+    import jax.numpy as jnp
+    _, queries, _, tidx, gt_ids = setup
+    t16 = tidx.astype(jnp.bfloat16)
+    ids, _, _, _ = tile_search(t16, queries, k=10, T=16, Lc=32, metric="ip",
+                               batch_size=256)
+    ids32, _, _, _ = tile_search(tidx, queries, k=10, T=16, Lc=32,
+                                 metric="ip", batch_size=256)
+    assert recall(ids, gt_ids) > recall(ids32, gt_ids) - 0.03
+
+
+def test_npz_roundtrip(tmp_path, setup):
+    _, _, _, tidx, _ = setup
+    p = str(tmp_path / "tiles.npz")
+    tidx.save_npz(p)
+    t2 = TileIndex.load_npz(p)
+    assert np.array_equal(t2.gids, tidx.gids)
+    assert np.array_equal(t2.adj, tidx.adj)
+    assert t2.ep == tidx.ep
+    assert np.allclose(t2.tiles, tidx.tiles)
+
+
+def test_l2_metric(setup):
+    base, queries, graph, _, _ = setup
+    tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="l2")
+    gt_ids, _ = knn(queries, base, k=10, metric="l2")
+    ids, _, _, _ = tile_search(tidx, queries, k=10, T=16, Lc=32, metric="l2",
+                               batch_size=256)
+    assert recall(ids, gt_ids) > 0.8
