@@ -1,14 +1,19 @@
 """Benchmark driver: QPS at recall@10 >= 0.95 on a synthetic t2i-like
 cross-modal workload (200-d, MIPS — the shape of the paper's headline t2i-10M
-protocol, BASELINE.md) comparing the TPU lockstep engine against the C++
-OpenMP CPU engine on the same index.
+protocol, BASELINE.md) comparing the TPU engines (tile-graph serving engine +
+reference-parity lockstep engine) against the C++ OpenMP CPU engine over the
+same RoarGraph.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <tpu qps @ 0.95 recall>, "unit": "qps",
+  {"metric": ..., "value": <best tpu qps @ 0.95 recall>, "unit": "qps",
    "vs_baseline": <tpu_qps / cpu_qps>, ...aux fields}
 
+Timing: each sweep point reports the single post-warmup pass (the reference
+protocol); min-of-passes rides along as the auxiliary qps_best column.
+
 Environment knobs: BENCH_N (base size), BENCH_TRAIN, BENCH_EVAL, BENCH_SEED,
-BENCH_FRESH=1 to ignore the cached index.
+BENCH_FRESH=1 to ignore caches; BENCH_TILE_C / BENCH_TILE_FILL /
+BENCH_TILE_DTYPE for the tile engine.
 """
 import json
 import os
@@ -103,7 +108,42 @@ def main():
     L_values = [10, 20, 40, 80, 150, 300, 500]
     batch = int(os.environ.get("BENCH_BATCH", 8192))
 
-    # --- TPU engine sweeps: reference-parity (medoid start) + seeded ---
+    # --- tile engine (the TPU-native serving path, tiles.py) -----------
+    from roargraph_tpu.tiles import TileIndex, build_tiles, tile_search, upload
+    import jax.numpy as jnp2
+    tile_C = int(os.environ.get("BENCH_TILE_C", 256))
+    tile_fill = float(os.environ.get("BENCH_TILE_FILL", 0.7))
+    tile_dtype = os.environ.get("BENCH_TILE_DTYPE", "bfloat16")
+    tile_cache = cache.replace(".npz", f"_tiles{tile_C}.npz")
+    tile_build_s = None
+    if os.path.exists(tile_cache) and not os.environ.get("BENCH_FRESH"):
+        tidx = TileIndex.load_npz(tile_cache)
+    else:
+        t0 = time.time()
+        tidx = build_tiles(graph, base, cluster_size=tile_C, Mc=32,
+                           metric="ip", fill=tile_fill)
+        tile_build_s = time.time() - t0
+        log(f"tile index: {tile_build_s:.1f}s K={tidx.num_clusters}")
+        tidx.save_npz(tile_cache)
+    if tile_dtype != "float32":
+        tidx = tidx.astype(jnp2.bfloat16)
+    tile_dev = upload(tidx)
+    T_values = [4, 6, 8, 12, 16, 24, 32, 48]
+
+    def tile_fn(c):
+        # sweep knob: clusters scanned per query (rides the L_pq column)
+        return tile_search(tidx, eval_q, k=c.k, T=c.L_pq,
+                           Lc=max(2 * c.L_pq, 16), metric=c.metric,
+                           batch_size=batch, device_arrays=tile_dev)
+
+    log(f"tile sweep ({tile_dtype}, C={tidx.cluster_size}, "
+        f"K={tidx.num_clusters}; column 1 is T = clusters scanned):")
+    tile_rows = reval.sweep(tile_fn, T_values, gt_ids, k=K,
+                            metric=rt.Metric.IP, n_queries=N_EVAL,
+                            verbose="stderr")
+    tile_qps = reval.qps_at_recall(tile_rows, TARGET)
+
+    # --- flat engine sweeps: reference-parity (medoid start) + seeded ---
     bucket = max(L_values)  # one compiled program serves the whole sweep
 
     def tpu_fn(c):
@@ -128,9 +168,10 @@ def main():
                            verbose="stderr")
     tpu_plain_qps = reval.qps_at_recall(tpu_rows, TARGET)
     tpu_seeded_qps = reval.qps_at_recall(seeded_rows, TARGET)
-    tpu_qps = max([q for q in (tpu_plain_qps, tpu_seeded_qps)
+    tpu_qps = max([q for q in (tpu_plain_qps, tpu_seeded_qps, tile_qps)
                    if q is not None], default=None)
-    best_recall = max(r["recall"] for r in tpu_rows + seeded_rows)
+    best_recall = max(r["recall"]
+                      for r in tpu_rows + seeded_rows + tile_rows)
 
     # --- CPU native baseline sweep (reference-engine semantics) ---
     cpu_qps = None
@@ -154,6 +195,8 @@ def main():
         "value": round(value, 1),
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs else None,
+        "tile_qps": round(tile_qps, 1) if tile_qps else None,
+        "tile_config": f"C{tidx.cluster_size}_{tile_dtype}",
         "tpu_medoid_qps": round(tpu_plain_qps, 1) if tpu_plain_qps else None,
         "tpu_seeded_qps": round(tpu_seeded_qps, 1) if tpu_seeded_qps else None,
         "cpu_baseline_qps": round(cpu_qps, 1) if cpu_qps else None,

@@ -15,9 +15,11 @@ visited, computes all distances in one batched contraction and merges into
 the sorted queue — same lockstep machinery as the projection search.
 
 Capacity note: base-side in-degree is unbounded in the reference (every query
-whose head is this node). The padded array caps it at ``base_width`` (default
-64, ≈2x the expected in-degree at paper scale); overflow edges are dropped
-deterministically (lowest query ids kept).
+whose head is this node, ``src/index_bipartite.cpp:264-273``). By default the
+padded array is sized to the *true* max in-degree (no edges dropped — exact
+reference parity). An explicit ``base_width`` caps the width for memory
+control; dropped overflow edges are then counted in
+``BipartiteIndex.dropped_reverse_edges`` and reported, never silent.
 """
 from __future__ import annotations
 
@@ -41,6 +43,8 @@ BIG = jnp.int32(2**31 - 1)
 class BipartiteIndex:
     base_adj: np.ndarray    # [nd, W1] int32 query ids (0-based), PAD-filled
     query_adj: np.ndarray   # [nsq, W2] int32 base ids, PAD-filled
+    # reverse edges dropped by an explicit base_width cap (0 = exact parity)
+    dropped_reverse_edges: int = 0
 
     @property
     def nd(self) -> int:
@@ -80,12 +84,17 @@ class BipartiteIndex:
 
 
 def build_bipartite(n_base: int, train_knn: np.ndarray, M_pjbp: int,
-                    *, base_width: int = 64) -> BipartiteIndex:
+                    *, base_width: int | None = None,
+                    verbose: bool = False) -> BipartiteIndex:
     """Form the bipartite graph from training-query NN lists.
 
     Parity with ``qbaseNNbipartite`` (``src/index_bipartite.cpp:252-278``):
     query node out-list = first ``M_pjbp`` NNs minus the head; head gets one
-    reverse edge per query (kept in query-id order, capped at base_width)."""
+    reverse edge per query (kept in query-id order). ``base_width=None``
+    (default) sizes the padded base rows to the true max in-degree — no edge
+    is ever dropped, matching the reference's unbounded ``push_back``
+    (``:264-273``). An explicit cap drops overflow deterministically (lowest
+    query ids kept) and records the count."""
     knn = np.asarray(train_knn)[:, :M_pjbp].astype(np.int64)
     nsq = knn.shape[0]
     heads = knn[:, 0]
@@ -97,6 +106,17 @@ def build_bipartite(n_base: int, train_knn: np.ndarray, M_pjbp: int,
     rows = np.broadcast_to(np.arange(nsq)[:, None], cand.shape)[keep]
     query_adj[rows, rank[keep]] = cand[keep].astype(np.int32)
 
+    counts = np.bincount(heads, minlength=n_base)
+    if base_width is None:
+        base_width = int(max(counts.max(), 1))
+        dropped = 0
+    else:
+        dropped = int(np.maximum(counts - base_width, 0).sum())
+        if dropped and verbose:
+            import sys
+            print(f"build_bipartite: base_width={base_width} drops "
+                  f"{dropped} reverse edges (max in-degree "
+                  f"{int(counts.max())})", file=sys.stderr)
     base_adj = np.full((n_base, base_width), PAD, np.int32)
     order = np.argsort(heads, kind="stable")  # deterministic query-id order
     h = heads[order]
@@ -104,7 +124,8 @@ def build_bipartite(n_base: int, train_knn: np.ndarray, M_pjbp: int,
         np.where(np.r_[True, h[1:] != h[:-1]], np.arange(nsq), 0))
     ok = pos < base_width
     base_adj[h[ok], pos[ok]] = order[ok].astype(np.int32)
-    return BipartiteIndex(base_adj=base_adj, query_adj=query_adj)
+    return BipartiteIndex(base_adj=base_adj, query_adj=query_adj,
+                          dropped_reverse_edges=dropped)
 
 
 class BipartiteResult(NamedTuple):

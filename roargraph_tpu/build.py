@@ -274,6 +274,86 @@ def _phase_a(base_dev, train_knn: np.ndarray, cfg: BuildConfig, N: int):
 # Phase B — connectivity augmentation
 # ---------------------------------------------------------------------------
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "M", "W", "prune_chunk"),
+    donate_argnums=(0, 1, 2))
+def _phase_b_step(supply_i, supply_d, deg, ret_i, ret_d, nodes, nodes_ok,
+                  proj_i_dev, base_dev, *, metric, M, W, prune_chunk=0):
+    """One fused device step of phase B for a batch of nodes: defer-mask →
+    occlusion prune → out-list write → deterministic reverse-append (bounded
+    at ``W``). No host math; the supply arrays stay device-resident across
+    batches (donated buffers, so updates are in place)."""
+    N = supply_i.shape[0]
+    B, R = ret_i.shape
+    BIGI = jnp.int32(2**31 - 1)
+
+    valid = (ret_i >= 0) & (ret_i != nodes[:, None]) & nodes_ok[:, None]
+    # defer candidates already present in the node's projection list
+    # (the reference's first-element skip, ``:1858-1865``)
+    proj_rows = proj_i_dev[jnp.clip(nodes, 0, N - 1)]        # [B, Mp]
+    defer = valid & jnp.any(
+        ret_i[:, :, None] == proj_rows[:, None, :], axis=2)
+    node_vecs = base_dev[jnp.clip(nodes, 0, N - 1)]
+
+    if prune_chunk and prune_chunk < B:
+        G = B // prune_chunk
+
+        def one(args):
+            ri, rd, va, nv, dm = args
+            return occlusion_prune(ri, rd, va, nv, base_dev, metric=metric,
+                                   M=M, backfill=False, defer_mask=dm,
+                                   use_defer=True)
+        pi, pd = jax.lax.map(one, (
+            ret_i.reshape(G, prune_chunk, R),
+            ret_d.reshape(G, prune_chunk, R),
+            valid.reshape(G, prune_chunk, R),
+            node_vecs.reshape(G, prune_chunk, -1),
+            defer.reshape(G, prune_chunk, R)))
+        pi, pd = pi.reshape(B, M), pd.reshape(B, M)
+    else:
+        pi, pd = occlusion_prune(ret_i, ret_d, valid, node_vecs, base_dev,
+                                 metric=metric, M=M, backfill=False,
+                                 defer_mask=defer, use_defer=True)
+
+    # --- write the batch's new out-lists (padding rows drop) -----------
+    row_i = jnp.full((B, W), PAD, jnp.int32).at[:, :M].set(pi)
+    row_d = jnp.full((B, W), jnp.inf, jnp.float32).at[:, :M].set(pd)
+    tgt = jnp.where(nodes_ok, nodes, N)
+    supply_i = supply_i.at[tgt].set(row_i, mode="drop")
+    supply_d = supply_d.at[tgt].set(row_d, mode="drop")
+    deg = deg.at[tgt].set(jnp.sum(pi != PAD, axis=1).astype(deg.dtype),
+                          mode="drop")
+
+    # --- reverse appends (u -> v gives v -> u), bound W ----------------
+    src = jnp.repeat(nodes, M)                               # [B*M]
+    dst = pi.reshape(-1)
+    dval = pd.reshape(-1)
+    ok = (dst >= 0) & jnp.repeat(nodes_ok, M)
+    dst_l = jnp.where(ok, dst, BIGI)
+    # skip pairs already present in the destination rows
+    rows = supply_i[jnp.clip(dst_l, 0, N - 1)]               # [B*M, W]
+    already = jnp.any(rows == src[:, None], axis=1)
+    dst_l = jnp.where(already, BIGI, dst_l)
+    # deterministic arrival order: (dst, src) ascending (invalid sort last)
+    sdst, ssrc, sd = jax.lax.sort((dst_l, src, dval), num_keys=2)
+    E = sdst.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sdst[1:] != sdst[:-1]])
+    first_idx = jax.lax.cummax(jnp.where(is_first, idx, 0))
+    rank = idx - first_idx
+    pos = deg[jnp.clip(sdst, 0, N - 1)].astype(jnp.int32) + rank
+    accepted = (sdst < BIGI) & (pos < W)
+    tgt2 = jnp.where(accepted, sdst, N)
+    pos = jnp.where(accepted, pos, 0)
+    supply_i = supply_i.at[tgt2, pos].set(ssrc.astype(jnp.int32),
+                                          mode="drop")
+    supply_d = supply_d.at[tgt2, pos].set(sd, mode="drop")
+    deg = deg.at[tgt2].add(accepted.astype(deg.dtype), mode="drop")
+    return supply_i, supply_d, deg
+
+
 def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
                           proj_i: np.ndarray, checkpoint_dir: str | None = None,
                           checkpoint_every: int = 50):
@@ -289,11 +369,15 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     search a progressively better-connected graph — that is what stitches
     phase-A fragments into one searchable component. The TPU version keeps
     that property bulk-synchronously: nodes are processed in batches, and
-    each batch's new out-lists plus reverse appends are scattered into the
+    each batch's new out-lists plus reverse appends land in the
     device-resident adjacency before the next batch searches. Reverse inserts
     append up to the ``2*M_pjbp`` bound (``SupplyAddReverse:1353``); overflow
     re-pruning is deferred to the final degree-check pass
     (``LinkProjection:1224-1248``) instead of happening per arriving edge.
+
+    The whole phase is two device calls per batch (search + fused
+    prune/scatter step, :func:`_phase_b_step`); supply state never leaves the
+    device except at checkpoints.
     """
     N = adj_i.shape[0]
     L = cfg.L_pjpq
@@ -306,7 +390,7 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     supply_d = np.full((N, W), np.inf, np.float32)
     supply_i[:, : adj_i.shape[1]] = adj_i
     supply_d[:, : adj_d.shape[1]] = adj_d
-    deg = (supply_i != PAD).sum(axis=1).astype(np.int64)
+    deg = (supply_i != PAD).sum(axis=1).astype(np.int32)
 
     start = 0
     ckpt = (os.path.join(checkpoint_dir, "phase_b.npz")
@@ -314,86 +398,50 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     if ckpt and os.path.exists(ckpt):
         with np.load(ckpt) as z:
             supply_i, supply_d = z["supply_i"], z["supply_d"]
-            deg = z["deg"]
+            deg = z["deg"].astype(np.int32)
             start = int(z["next"])
         print(f"resuming phase B at node {start}/{N} from {ckpt}")
 
-    adj_dev = jnp.asarray(supply_i)
+    supply_i_dev = jnp.asarray(supply_i)
+    supply_d_dev = jnp.asarray(supply_d)
+    deg_dev = jnp.asarray(deg)
+    proj_i_dev = jnp.asarray(proj_i)
     max_hops = 16 * L + 64
     batches_done = 0
+    prune_chunk = min(cfg.prune_batch, 256)
+    if B % prune_chunk:
+        prune_chunk = 0  # fall back to one full-batch prune
 
     for s in range(start, N, B):
         e = min(s + B, N)
         nodes = np.arange(s, e, dtype=np.int32)
+        nodes_ok = np.ones(B, bool)
         if e - s < B:
-            nodes = np.concatenate(
-                [nodes, np.zeros(B - (e - s), np.int32)])
+            nodes = np.concatenate([nodes, np.zeros(B - (e - s), np.int32)])
+            nodes_ok[e - s:] = False
+        nodes_dev = jnp.asarray(nodes)
         res = beam_search_batch(
-            adj_dev, base_dev, base_dev[jnp.asarray(nodes)], jnp.int32(ep),
+            supply_i_dev, base_dev, base_dev[nodes_dev], jnp.int32(ep),
             k=1, L=L, metric=cfg.metric, max_hops=max_hops,
-            capture=R, exclude_self=True, self_ids=jnp.asarray(nodes))
-        ret_i = np.asarray(res.ret_ids)[: e - s]
-        ret_d = np.asarray(res.ret_dists)[: e - s]
-        nodes = nodes[: e - s]
-
-        valid = ret_i >= 0
-        # also drop the node itself if it slipped in as the entry point
-        valid &= ret_i != nodes[:, None]
-        # defer candidates that are already projection-neighbors of the node
-        # (vectorized membership via composite (node, id) keys)
-        rows = proj_i[nodes]
-        proj_keys = (nodes[:, None].astype(np.int64) * N
-                     + rows.astype(np.int64))[rows != PAD]
-        ret_keys = (nodes[:, None].astype(np.int64) * N
-                    + np.clip(ret_i, 0, None).astype(np.int64))
-        defer = np.isin(ret_keys.ravel(), proj_keys).reshape(ret_i.shape)
-        defer &= valid
-
-        pi, pd = _prune_rows_device(
-            ret_i, ret_d, valid, nodes, base_dev,
-            metric=cfg.metric, M=M, backfill=False,
-            defer_mask=defer, batch=min(cfg.prune_batch, 256))
-
-        # --- write the batch's new out-lists ---------------------------
-        supply_i[nodes] = PAD
-        supply_d[nodes] = np.inf
-        supply_i[nodes, :M] = pi
-        supply_d[nodes, :M] = pd
-        deg[nodes] = (pi != PAD).sum(axis=1)
-
-        # --- reverse appends (u -> v gives v -> u), bound 2*M ----------
-        src = np.repeat(nodes.astype(np.int64), M)
-        dst = pi.ravel().astype(np.int64)
-        dval = pd.ravel()
-        ok = dst >= 0
-        src, dst, dval = src[ok], dst[ok], dval[ok]
-        # skip pairs already present in the destination rows
-        dst_rows = supply_i[dst]
-        already = (dst_rows == src[:, None].astype(np.int32)).any(axis=1)
-        src, dst, dval = src[~already], dst[~already], dval[~already]
-        order = np.lexsort((src, dst))
-        sdst, ssrc, sd = dst[order], src[order], dval[order]
-        rank = _group_ranks(sdst)
-        pos = deg[sdst] + rank
-        fit = pos < W
-        supply_i[sdst[fit], pos[fit]] = ssrc[fit].astype(np.int32)
-        supply_d[sdst[fit], pos[fit]] = sd[fit]
-        np.add.at(deg, sdst[fit], 1)
-
-        # --- scatter changed rows into the device adjacency ------------
-        changed = np.unique(np.concatenate([nodes.astype(np.int64), sdst]))
-        adj_dev = adj_dev.at[jnp.asarray(changed)].set(
-            jnp.asarray(supply_i[changed]))
+            capture=R, exclude_self=True, self_ids=nodes_dev,
+            expand_width=cfg.search_expand)
+        supply_i_dev, supply_d_dev, deg_dev = _phase_b_step(
+            supply_i_dev, supply_d_dev, deg_dev, res.ret_ids, res.ret_dists,
+            nodes_dev, jnp.asarray(nodes_ok), proj_i_dev, base_dev,
+            metric=cfg.metric, M=M, W=W, prune_chunk=prune_chunk)
 
         batches_done += 1
         if ckpt and batches_done % checkpoint_every == 0:
             tmp = ckpt[:-4] + "_tmp.npz"
-            np.savez(tmp[:-4], supply_i=supply_i, supply_d=supply_d, deg=deg,
-                     next=np.int64(e))
+            np.savez(tmp[:-4], supply_i=np.asarray(supply_i_dev),
+                     supply_d=np.asarray(supply_d_dev),
+                     deg=np.asarray(deg_dev), next=np.int64(e))
             os.replace(tmp, ckpt)
     if ckpt and os.path.exists(ckpt):
         os.remove(ckpt)
-    return supply_i, supply_d
+    # np.array (not asarray): device views are read-only and the final
+    # degree-check pass mutates these in place
+    return np.array(supply_i_dev), np.array(supply_d_dev)
 
 
 def _merge_supply(proj_i: np.ndarray, supply_i: np.ndarray, M_pjbp: int):

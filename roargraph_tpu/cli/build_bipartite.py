@@ -27,7 +27,9 @@ def main(argv=None):
     p.add_argument("--bipartite_index_save_path", required=True)
     p.add_argument("--learn_base_nn_path", default=None)
     p.add_argument("--M_pjbp", type=int, default=35)
-    p.add_argument("--base_width", type=int, default=64)
+    p.add_argument("--base_width", type=int, default=None,
+                   help="cap on base-side reverse edges (default: exact — "
+                        "sized to the true max in-degree, reference parity)")
     args = p.parse_args(argv)
 
     metric = Metric.parse(args.dist)
@@ -38,7 +40,8 @@ def main(argv=None):
         queries = load_vectors(args.sampled_query_data_path, metric)
         train_ids, _ = knn(queries, base, k=args.M_pjbp, metric=metric)
     index = build_bipartite(base.shape[0], np.asarray(train_ids),
-                            M_pjbp=args.M_pjbp, base_width=args.base_width)
+                            M_pjbp=args.M_pjbp, base_width=args.base_width,
+                            verbose=True)
     index.save_reference(args.bipartite_index_save_path)
     print(f"Save index to {args.bipartite_index_save_path}")
 

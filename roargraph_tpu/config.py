@@ -80,6 +80,12 @@ class BuildConfig:
     # Cap on recorded expansions in the phase-B internal search (the reference
     # records every expansion; expansions rarely exceed a few times L).
     max_hops_factor: int = 4
+    # Frontier nodes expanded per lockstep step of the phase-B internal
+    # search. 1 = strict best-first (reference expansion order, the parity
+    # default); >1 trades exact expansion order for ~E x fewer loop steps —
+    # the expanded candidate set (and hence the built graph) changes
+    # order-level, like the reference's own thread-race nondeterminism.
+    search_expand: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "metric", Metric.parse(self.metric))

@@ -70,23 +70,27 @@ def sweep(
               file=out)
     for L in L_values:
         cfg = SearchConfig(k=k, L_pq=int(L), metric=metric)
-        dt = float("inf")
+        warm_dt = float("inf")
         if warmup:
-            # compile + warm caches (parity: ``:198-200``); the warmup pass is
-            # timed too and the best pass wins — device time through the
-            # shared TPU tunnel is noisy, and min-of-n is the standard
-            # estimator for "what the hardware can do"
+            # compile + warm caches (parity: ``:198-200``)
             t0 = time.perf_counter()
             search_fn(cfg)
-            dt = time.perf_counter() - t0
+            warm_dt = time.perf_counter() - t0
         t0 = time.perf_counter()
         ids, dists, cmps, hops = search_fn(cfg)
-        dt = min(dt, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        # Headline timing = the single post-warmup pass, the reference's
+        # protocol (``tests/test_search_roargraph.cpp:197-213``). ``qps_best``
+        # additionally keeps the best observed pass (incl. the warmup one) —
+        # device time through the shared TPU tunnel is noisy and min-of-n
+        # estimates what the hardware can do; it is auxiliary, never the
+        # headline.
         qps = n_queries / dt
         rec = recall_at_k(ids, gt_ids, k)
         row = {
             "L_pq": int(L),
             "qps": qps,
+            "qps_best": n_queries / min(dt, warm_dt),
             "avg_cmps": float(np.mean(cmps)),
             "mean_latency_ms": dt * 1000.0 / n_queries,
             "recall": rec,

@@ -21,6 +21,7 @@ class RoarGraphIndex:
     base: np.ndarray
     metric: Metric
     seeds: "object | None" = None  # ops.seeds.SeedIndex
+    tiles: "object | None" = None  # tiles.TileIndex (serving engine)
 
     # -- construction --------------------------------------------------
 
@@ -60,6 +61,16 @@ class RoarGraphIndex:
         return RoarGraphIndex(graph=graph, base=base, metric=config.metric,
                               seeds=seeds)
 
+    def build_tiles(self, *, cluster_size: int = 256, Mc: int = 32,
+                    fill: float = 0.7, dtype=None) -> None:
+        """Attach the tile-graph serving engine (tiles.py) derived from this
+        RoarGraph. ``dtype`` (e.g. jnp.bfloat16) casts tile storage."""
+        from .tiles import build_tiles as _bt
+        self.tiles = _bt(self.graph, self.base, cluster_size=cluster_size,
+                         Mc=Mc, metric=self.metric, fill=fill)
+        if dtype is not None:
+            self.tiles = self.tiles.astype(dtype)
+
     # -- search ---------------------------------------------------------
 
     def search(self, queries, *, k: int = 10, L_pq: int = 100,
@@ -76,6 +87,21 @@ class RoarGraphIndex:
                                   n_seeds=n_seeds)
         return rsearch.search(self.graph, self.base, queries, config,
                               seeds=self.seeds)
+
+    def search_tiles(self, queries, *, k: int = 10, T: int = 12,
+                     Lc: int | None = None, batch_size: int = 8192):
+        """High-throughput serving path over the tile engine (requires
+        :meth:`build_tiles`). ``T`` = clusters scanned per query (the
+        recall/QPS knob). Returns (ids, dists, cmps, hops)."""
+        from .tiles import tile_search
+
+        if self.tiles is None:
+            raise ValueError("no tile index: call build_tiles() first")
+        queries = np.asarray(queries, np.float32)
+        if self.metric.needs_normalize:
+            queries = np.asarray(normalize(queries))
+        return tile_search(self.tiles, queries, k=k, T=T, Lc=Lc,
+                           metric=self.metric, batch_size=batch_size)
 
     def search_cpu(self, queries, *, k: int = 10, L_pq: int = 100,
                    num_threads: int = 0):
@@ -99,6 +125,8 @@ class RoarGraphIndex:
             f.write(self.metric.value)
         if self.seeds is not None:
             self.seeds.save_npz(os.path.join(directory, "seeds.npz"))
+        if self.tiles is not None:
+            self.tiles.save_npz(os.path.join(directory, "tiles.npz"))
 
     @staticmethod
     def load(directory: str) -> "RoarGraphIndex":
@@ -111,8 +139,13 @@ class RoarGraphIndex:
         if os.path.exists(sp):
             from .ops.seeds import SeedIndex
             seeds = SeedIndex.load_npz(sp)
+        tiles = None
+        tp = os.path.join(directory, "tiles.npz")
+        if os.path.exists(tp):
+            from .tiles import TileIndex
+            tiles = TileIndex.load_npz(tp)
         return RoarGraphIndex(graph=graph, base=base, metric=metric,
-                              seeds=seeds)
+                              seeds=seeds, tiles=tiles)
 
     def stats(self) -> dict:
         return graph_stats(self.graph)

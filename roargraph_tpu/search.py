@@ -234,13 +234,16 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
                 cand_d, cand_i, cand_e, d, ii, L))
         cmps = cmps + jnp.sum(fresh, axis=1).astype(jnp.int32)
         if capture:
-            slot = jnp.clip(hops, 0, R - 1)
-            ret_i = ret_i.at[jnp.arange(B), slot].set(
-                jnp.where(active & (hops < R), frontier[:, 0],
-                          ret_i[jnp.arange(B), slot]))
-            ret_d = ret_d.at[jnp.arange(B), slot].set(
-                jnp.where(active & (hops < R), frontier_d[:, 0],
-                          ret_d[jnp.arange(B), slot]))
+            # record the E expanded frontiers in expansion order; slots past
+            # R fall off via drop-mode (capture is bounded at R, DESIGN.md)
+            e_iota = jax.lax.broadcasted_iota(jnp.int32, (B, E), 1)
+            raw_slot = hops[:, None] + e_iota
+            okc = picked & (raw_slot < R)
+            slot = jnp.where(okc, raw_slot, R)
+            ret_i = ret_i.at[b_e, slot].set(
+                jnp.where(okc, frontier, BIG), mode="drop")
+            ret_d = ret_d.at[b_e, slot].set(
+                jnp.where(okc, frontier_d, jnp.inf), mode="drop")
         hops = hops + jnp.sum(picked, axis=1).astype(jnp.int32)
         return (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d,
                 it + 1)
@@ -339,9 +342,6 @@ def beam_search_batch(
                                             # static width)
     visited_dense: bool | None = None,      # None = auto by bitmask width
 ) -> SearchResult:
-    if expand_width > 1 and capture:
-        raise ValueError("capture requires expand_width=1 (exact expansion "
-                         "order is part of the build semantics)")
     N, _ = adj.shape
     B = queries.shape[0]
     if self_ids is None:

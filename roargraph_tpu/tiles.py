@@ -144,13 +144,20 @@ def _balanced_assign(base: np.ndarray, n_clusters: int, cap: int, *,
 def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
                 Mc: int = 32, metric: Metric | str = Metric.IP,
                 kmeans_iters: int = 6, seed: int = 0,
-                centroid_knn_edges: int = 4) -> TileIndex:
+                centroid_knn_edges: int = 4,
+                fill: float = 0.75) -> TileIndex:
     """Build the tile index over an existing RoarGraph.
 
     Cluster adjacency = per source cluster, the ``Mc`` clusters receiving the
     most vector-level RoarGraph edges (symmetrized), unioned with each
     cluster's ``centroid_knn_edges`` nearest centroids as a geometric backstop
     so sparse regions stay reachable.
+
+    ``fill`` targets the average cluster occupancy: clusters hold up to
+    ``cluster_size`` rows but only ``fill`` of the capacity is needed on
+    average, so the capacity-constrained assignment rarely has to push a
+    point away from its nearest centroid (tight capacity measurably costs
+    recall). Lower fill = better assignment, more padded scan compute.
     """
     from .ops.topk import knn
 
@@ -158,7 +165,7 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
     base = np.asarray(base)
     N, D = base.shape
     C = int(cluster_size)
-    K = max(1, -(-N // C))
+    K = max(1, -(-N // max(1, int(C * fill))))
     assign = _balanced_assign(base, K, C, iters=kmeans_iters, seed=seed)
 
     # ---- reorder into tiles ------------------------------------------------

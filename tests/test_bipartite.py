@@ -60,6 +60,27 @@ def test_two_hop_search_recall(bip):
     assert (np.diff(dists, axis=1) >= -1e-6).all()
 
 
+def test_hot_head_in_degree_unbounded():
+    """A head shared by >64 queries must keep every reverse edge by default
+    (the reference's in-degree is unbounded, ``src/index_bipartite.cpp:264``);
+    an explicit cap must report what it dropped instead of staying silent."""
+    nsq, M = 100, 4
+    train_ids = np.zeros((nsq, M), np.uint32)
+    train_ids[:, 0] = 7            # every query's head is node 7
+    train_ids[:, 1] = np.arange(nsq) % 5
+    train_ids[:, 2] = 5 + np.arange(nsq) % 2
+    train_ids[:, 3] = 9
+    index = build_bipartite(10, train_ids, M_pjbp=M)
+    row = index.base_adj[7]
+    assert (row != PAD).sum() == nsq          # all 100 reverse edges kept
+    assert row.tolist() == list(range(nsq))   # query-id order
+    assert index.dropped_reverse_edges == 0
+
+    capped = build_bipartite(10, train_ids, M_pjbp=M, base_width=64)
+    assert (capped.base_adj[7] != PAD).sum() == 64
+    assert capped.dropped_reverse_edges == nsq - 64
+
+
 def test_search_deterministic_given_seed(bip):
     base, _, eval_q, index = bip
     cfg = rt.SearchConfig(k=5, L_pq=30, metric="ip", batch_size=150)

@@ -163,13 +163,39 @@ def test_expand_width_quality(rng):
     assert recalls[4] >= recalls[1] - 0.05, recalls
 
 
-def test_expand_width_capture_rejected():
-    with pytest.raises(ValueError, match="capture requires"):
-        rsearch.beam_search_batch(
-            jnp.zeros((4, 2), jnp.int32), jnp.zeros((4, 4), jnp.float32),
-            jnp.zeros((2, 4), jnp.float32), jnp.int32(0),
-            k=1, L=4, metric=Metric.IP, max_hops=8, capture=8,
-            expand_width=2)
+def test_expand_width_capture(rng):
+    """Capture with expand_width>1 (used by the fast build mode) records the
+    multi-expansion frontier sequence: valid ids only, no duplicates, and a
+    superset-scale expansion count vs strict best-first."""
+    n, dim = 300, 12
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 10)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((16, dim)).astype(np.float32)
+    R = 64
+    res1 = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(0), k=5, L=16, metric=Metric.IP, max_hops=10_000,
+        capture=R, expand_width=1)
+    res4 = rsearch.beam_search_batch(
+        jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries),
+        jnp.int32(0), k=5, L=16, metric=Metric.IP, max_hops=10_000,
+        capture=R, expand_width=4)
+    for res in (res1, res4):
+        ri = np.asarray(res.ret_ids)
+        hops = np.asarray(res.hops)
+        for q in range(16):
+            row = ri[q]
+            filled = row[row >= 0]
+            # captured ids are real nodes, never padding/sentinels
+            assert (filled < n).all()
+            # the first min(hops, R) slots are contiguous and duplicate-free
+            k_real = min(int(hops[q]), R)
+            assert (row[:k_real] >= 0).all()
+            assert len(set(row[:k_real].tolist())) == k_real
+    # E=1 parity is oracle-pinned elsewhere; here pin that E=4 really did
+    # expand in multi-width steps (same or more expansions, fewer loop iters)
+    assert (np.asarray(res4.hops) >= np.asarray(res1.hops) - 1).all()
 
 
 def test_segmented_matches_plain(rng):

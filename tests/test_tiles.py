@@ -36,7 +36,7 @@ def test_build_invariants(setup):
     base, _, _, tidx, _ = setup
     N = base.shape[0]
     K, C = tidx.gids.shape
-    assert K == -(-N // 64)
+    assert K == -(-N // int(64 * 0.75))  # default fill=0.75 slack
     flat = tidx.gids[tidx.gids != PAD]
     # every base id exactly once, none invented
     assert flat.size == N
