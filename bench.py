@@ -69,6 +69,7 @@ def main():
     base, train_q, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
     import jax.numpy as jnp
     base_dev = jnp.asarray(base)  # single upload shared by gt/build/search
+    eval_q = jnp.asarray(eval_q)  # ditto for the sweeps' query set
     cfg = rt.BuildConfig(metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
                          prune_batch=1024, search_batch=1024)
 

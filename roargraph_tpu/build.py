@@ -153,10 +153,15 @@ def _reverse_round(ids: np.ndarray, dists: np.ndarray, base_dev, *,
     dst = ids.ravel()[valid.ravel()].astype(np.int64)
     d = dists.ravel()[valid.ravel()]
 
-    # Drop reverse candidates (dst -> src) that already exist as edges.
-    fwd_keys = src * N + dst
-    rev_keys = dst * N + src
-    present = np.isin(rev_keys, fwd_keys)
+    # Drop reverse candidates (dst -> src) that already exist as edges:
+    # row-membership test src ∈ ids[dst], chunked — no composite edge-key
+    # materialization (the old int64-key isin needed ~3 GB at 10M x 35).
+    present = np.zeros(src.size, bool)
+    CH = max(1, 2**22)
+    for s_ in range(0, src.size, CH):
+        e_ = min(s_ + CH, src.size)
+        present[s_:e_] = (
+            ids[dst[s_:e_]] == src[s_:e_, None].astype(np.int32)).any(axis=1)
     src, dst, d = src[~present], dst[~present], d[~present]
 
     # Deterministic arrival order: (dst, src) ascending.
@@ -223,44 +228,75 @@ def _reverse_round(ids: np.ndarray, dists: np.ndarray, base_dev, *,
 # Phase A — projection from the query-base bipartite graph
 # ---------------------------------------------------------------------------
 
+@functools.partial(
+    jax.jit, static_argnames=("metric", "M", "M_sq", "chunk"))
+def _phase_a_core(train_knn, base_dev, *, metric, M, M_sq, chunk):
+    """Device core of phase A: per training query, distances of its NN tail
+    to its head NN plus the occlusion prune — chunked via ``lax.map`` so the
+    gathered candidate vectors never exceed one chunk's footprint.
+
+    ``train_knn`` rows must be padded to a multiple of ``chunk`` (pad rows:
+    head -1, ignored by the caller). Returns (tgt [Nq], ids [Nq, M],
+    dists [Nq, M])."""
+    Nq = train_knn.shape[0]
+    N = base_dev.shape[0]
+    knn = train_knn[:, :M_sq].astype(jnp.int32)
+    tgt = knn[:, 0]
+    cand = knn[:, 1:]
+    valid = (cand != tgt[:, None]) & (cand >= 0)
+    # GT rows are unique by construction; enforce anyway (first occurrence
+    # wins) to protect the visited-bitmask invariant downstream.
+    sort_idx = jnp.argsort(cand, axis=1, stable=True)
+    sorted_c = jnp.take_along_axis(cand, sort_idx, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((Nq, 1), bool), sorted_c[:, 1:] == sorted_c[:, :-1]],
+        axis=1)
+    dup = jnp.take_along_axis(dup_sorted, jnp.argsort(sort_idx, axis=1),
+                              axis=1)
+    valid = valid & ~dup
+
+    C = cand.shape[1]
+    G = Nq // chunk
+
+    def one(args):
+        tg, cd, va = args
+        tgt_vec = base_dev[jnp.clip(tg, 0, N - 1)]
+        cvecs = base_dev[jnp.clip(cd, 0, N - 1)]
+        dists = batched_scores(tgt_vec, cvecs, metric)
+        return occlusion_prune(cd, dists, va, tgt_vec, base_dev,
+                               metric=metric, M=M, backfill=True)
+
+    pi, pd = jax.lax.map(one, (tgt.reshape(G, chunk),
+                               cand.reshape(G, chunk, C),
+                               valid.reshape(G, chunk, C)))
+    return tgt, pi.reshape(Nq, M), pd.reshape(Nq, M)
+
+
 def _phase_a(base_dev, train_knn: np.ndarray, cfg: BuildConfig, N: int):
     """Per training query: head NN becomes the target node; the remaining NNs
     are occlusion-pruned into its out-list (``LinkProjection`` phase A,
-    ``src/index_bipartite.cpp:1059-1097``). Pure per-query → fully batched.
+    ``src/index_bipartite.cpp:1059-1097``). Pure per-query → fully batched
+    on device (:func:`_phase_a_core`); only the final out-list scatter runs
+    on the host.
 
     Target collisions (several queries sharing a head NN) resolve
     last-query-wins, a deterministic stand-in for the reference's
     thread-racing overwrite of ``projection_graph_[tgt]`` (``:1088-1091``)."""
     Nq = train_knn.shape[0]
     M_sq = min(cfg.M_sq, train_knn.shape[1])
-    knn = train_knn[:, :M_sq].astype(np.int64)
-    tgt = knn[:, 0].copy()
-    cand = knn[:, 1:].astype(np.int32)
-    valid = cand != tgt[:, None].astype(np.int32)
-    valid &= cand >= 0
-    # GT rows are unique by construction; enforce anyway (first occurrence
-    # wins) to protect the visited-bitmask invariant downstream.
-    sort_idx = np.argsort(cand, axis=1, kind="stable")
-    sorted_c = np.take_along_axis(cand, sort_idx, axis=1)
-    dup_sorted = np.zeros_like(valid)
-    dup_sorted[:, 1:] = sorted_c[:, 1:] == sorted_c[:, :-1]
-    dup = np.zeros_like(valid)
-    np.put_along_axis(dup, sort_idx, dup_sorted, axis=1)
-    valid &= ~dup
-
-    # distances candidate -> target, batched on device
-    C = cand.shape[1]
-    cdists = np.empty((Nq, C), np.float32)
-    bs = cfg.prune_batch
-    for s in range(0, Nq, bs):
-        e = min(s + bs, Nq)
-        tgt_vec = base_dev[jnp.asarray(tgt[s:e])]
-        cvecs = base_dev[jnp.asarray(np.clip(cand[s:e], 0, N - 1))]
-        cdists[s:e] = np.asarray(batched_scores(tgt_vec, cvecs, cfg.metric))
-
-    pruned_i, pruned_d = _prune_rows_device(
-        cand, cdists, valid, tgt.astype(np.int32), base_dev,
-        metric=cfg.metric, M=cfg.M_pjbp, backfill=True, batch=cfg.prune_batch)
+    knn = np.asarray(train_knn)[:, :M_sq].astype(np.int64)
+    chunk = min(cfg.prune_batch, max(Nq, 1))
+    pad = (-Nq) % chunk
+    knn_dev = knn.astype(np.int32)
+    if pad:
+        knn_dev = np.concatenate(
+            [knn_dev, np.full((pad, M_sq), -1, np.int32)])
+    tgt_dev, pi, pd = _phase_a_core(
+        jnp.asarray(knn_dev), base_dev, metric=cfg.metric, M=cfg.M_pjbp,
+        M_sq=M_sq, chunk=chunk)
+    tgt = knn[:, 0]
+    pruned_i = np.asarray(pi)[:Nq]
+    pruned_d = np.asarray(pd)[:Nq]
 
     # scatter out-lists; duplicate targets: last query index wins
     adj_i = np.full((N, cfg.M_pjbp), PAD, np.int32)
@@ -455,11 +491,15 @@ def _merge_supply(proj_i: np.ndarray, supply_i: np.ndarray, M_pjbp: int):
     deg = (proj_i != PAD).sum(axis=1).astype(np.int64)
 
     row_ids = np.arange(N, dtype=np.int64)
-    proj_keys = (row_ids[:, None] * N + proj_i.astype(np.int64))[proj_i != PAD]
     sup_valid = supply_i != PAD
-    sup_keys = row_ids[:, None] * N + np.clip(supply_i, 0, None).astype(np.int64)
-    novel = sup_valid & ~np.isin(sup_keys.ravel(), proj_keys).reshape(
-        supply_i.shape)
+    # row-membership (chunked over rows): supply id already in the node's
+    # projection list? (replaces the composite-key isin join)
+    novel = np.zeros_like(sup_valid)
+    CH = max(1, 2**24 // max(Wp * Ws, 1))
+    for s_ in range(0, N, CH):
+        e_ = min(s_ + CH, N)
+        novel[s_:e_] = sup_valid[s_:e_] & ~(
+            supply_i[s_:e_, :, None] == proj_i[s_:e_, None, :]).any(axis=2)
     rank = np.cumsum(novel, axis=1) - 1
     keep = novel & (rank < 2 * M_pjbp)
     r_idx = np.broadcast_to(row_ids[:, None], (N, Ws))[keep]
@@ -475,7 +515,8 @@ def _merge_supply(proj_i: np.ndarray, supply_i: np.ndarray, M_pjbp: int):
 
 def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
                     *, verbose: bool = False,
-                    checkpoint_dir: str | None = None):
+                    checkpoint_dir: str | None = None,
+                    phase_a: tuple | None = None):
     """Build a RoarGraph projection index.
 
     Args:
@@ -483,16 +524,23 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
       train_knn: [Nq, >=M_sq] exact NN ids of training queries against base —
                  the output of :func:`roargraph_tpu.ops.topk.knn` (or a loaded
                  reference gt file, ``LoadLearnBaseKNN``
-                 ``src/index_bipartite.cpp:2622-2642``).
+                 ``src/index_bipartite.cpp:2622-2642``). May be None when
+                 ``phase_a`` is supplied.
       cfg:       build parameters.
       checkpoint_dir: when set, the build is resumable: phase A results and
                  periodic phase-B progress are checkpointed there (the
                  reference's build is monolithic — SURVEY.md §5.4; a
                  10M-scale connectivity pass is hours of work worth saving).
+      phase_a:   optional precomputed raw phase-A adjacency (adj_i, adj_d)
+                 *before* the reverse-symmetrization rounds — the SPMD
+                 sharded build computes it for all shards in one mesh
+                 program (``dist.sharded``) and finishes each shard here.
 
     Returns (PaddedGraph, BuildReport).
     """
     cfg = cfg or BuildConfig()
+    if train_knn is None and phase_a is None:
+        raise ValueError("need train_knn or phase_a")
     # accept either host or device-resident vectors; a jax array passes
     # through without a fresh 100s-scale upload over the device link
     N = base.shape[0]
@@ -513,7 +561,10 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
         if verbose:
             print(f"resumed phase A from {ckpt_a}")
     else:
-        adj_i, adj_d = _phase_a(base_dev, np.asarray(train_knn), cfg, N)
+        if phase_a is not None:
+            adj_i, adj_d = np.array(phase_a[0]), np.array(phase_a[1])
+        else:
+            adj_i, adj_d = _phase_a(base_dev, np.asarray(train_knn), cfg, N)
         # two reverse-symmetrization rounds: the per-query inserts plus the
         # post-phase flush (``LinkProjection:1092`` and ``:1100-1104``)
         for _ in range(2):

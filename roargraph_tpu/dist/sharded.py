@@ -91,27 +91,111 @@ class ShardedRoarGraph:
                 seed_vecs=z["seed_vecs"] if "seed_vecs" in z else None)
 
 
-def build_sharded(base, train_knn_fn, cfg: BuildConfig, n_shards: int,
-                  *, verbose: bool = False,
-                  seed_centroids: int = 0) -> ShardedRoarGraph:
+def sharded_phase_a_step(mesh: Mesh, *, metric: Metric, M: int, M_sq: int,
+                         chunk: int, knn_k: int, knn_tile: int):
+    """One SPMD mesh program computing, for every shard in parallel: the
+    training queries' *local* exact NN lists against the shard, then the
+    phase-A occlusion prune of every query's NN tail (``build._phase_a_core``)
+    — the heavy per-shard build math runs on all devices at once instead of
+    the sequential host loop.
+
+    Returned fn: (train_q [Nq, D] replicated, bases [S, n_s, D] sharded)
+    -> (knn_ids [S, Nq, knn_k], tgt [S, Nqp], ids [S, Nqp, M],
+        dists [S, Nqp, M]) with Nqp = Nq padded to a multiple of ``chunk``.
+    """
+    from ..build import _phase_a_core
+    from ..ops.topk import knn_tiled
+
+    def local(train_q, bases):
+        shard = bases[0]
+        # local exact NN ids (shard-local id space); inf padding rows can
+        # never win inside knn_tiled's top-k
+        ids, _ = knn_tiled(train_q, shard, k=knn_k, metric=metric,
+                           tile=knn_tile)
+        Nq = ids.shape[0]
+        pad = (-Nq) % chunk
+        knn_p = ids.astype(jnp.int32)
+        if pad:
+            knn_p = jnp.concatenate(
+                [knn_p, jnp.full((pad, knn_k), -1, jnp.int32)])
+        tgt, pi, pd = _phase_a_core(knn_p, shard, metric=metric, M=M,
+                                    M_sq=M_sq, chunk=chunk)
+        return ids[None], tgt[None], pi[None], pd[None]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("shard")),
+        out_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def build_sharded(base, train_knn_fn=None, cfg: BuildConfig = None,
+                  n_shards: int = 1, *, verbose: bool = False,
+                  seed_centroids: int = 0, train_queries=None,
+                  mesh: Mesh | None = None,
+                  knn_tile: int = 2048) -> ShardedRoarGraph:
     """Partition the base set and build one RoarGraph per shard.
 
-    ``train_knn_fn(shard_base) -> [Nq, M_sq]`` computes the training-query NN
-    lists against one shard (callers close over the training queries).
+    Two modes:
+
+    - sequential (``train_knn_fn``): per shard, the callback computes the
+      training-query NN lists and the full build runs shard-by-shard;
+    - SPMD (``train_queries`` + ``mesh``): the per-shard exact local k-NN and
+      the phase-A occlusion prune — the bulk of the device math — run for
+      *all shards at once* under ``shard_map`` (one device per shard); each
+      shard's host completion (reverse rounds + phase B, itself
+      device-resident) follows. Identical results to the sequential mode.
+
     ``seed_centroids > 0`` additionally builds a per-shard coarse quantizer
     for seeded starts."""
     from ..build import build_roargraph
+    from ..graph import PAD as _PAD
 
     base = np.asarray(base)
     N, D = base.shape
     n_s = (N + n_shards - 1) // n_shards
     adjs, bases, eps, offs, sizes, seeds = [], [], [], [], [], []
     width = 0
+
+    phase_a_per_shard = {}
+    if mesh is not None and train_queries is not None:
+        train_q = np.asarray(train_queries)
+        Nq = train_q.shape[0]
+        chunk = min(cfg.prune_batch, Nq)
+        # inf-padded stack: padding rows can never enter a local top-k
+        stacked = np.full((n_shards, n_s, D), np.inf, base.dtype)
+        for s in range(n_shards):
+            lo, hi = s * n_s, min((s + 1) * n_s, N)
+            stacked[s, : hi - lo] = base[lo:hi]
+        step = sharded_phase_a_step(
+            mesh, metric=cfg.metric, M=cfg.M_pjbp, M_sq=cfg.M_sq,
+            chunk=chunk, knn_k=cfg.M_sq, knn_tile=knn_tile)
+        knn_ids, tgt, pi, pd = step(jnp.asarray(train_q),
+                                    jnp.asarray(stacked))
+        knn_ids = np.asarray(knn_ids)
+        tgt, pi, pd = np.asarray(tgt), np.asarray(pi), np.asarray(pd)
+        for s in range(n_shards):
+            size = min(n_s, N - s * n_s)
+            # host scatter (last query wins), exactly build._phase_a
+            adj_i = np.full((size, cfg.M_pjbp), _PAD, np.int32)
+            adj_d = np.full((size, cfg.M_pjbp), np.inf, np.float32)
+            t = tgt[s, :Nq].astype(np.int64)
+            adj_i[t] = pi[s, :Nq]
+            adj_d[t] = pd[s, :Nq]
+            phase_a_per_shard[s] = (adj_i, adj_d)
+
     for s in range(n_shards):
         lo, hi = s * n_s, min((s + 1) * n_s, N)
         shard = base[lo:hi]
-        knn_ids = train_knn_fn(shard)
-        g, _ = build_roargraph(shard, knn_ids, cfg, verbose=verbose)
+        if s in phase_a_per_shard:
+            g, _ = build_roargraph(shard, None, cfg, verbose=verbose,
+                                   phase_a=phase_a_per_shard[s])
+        else:
+            if train_knn_fn is None:
+                raise ValueError("need train_knn_fn, or train_queries+mesh")
+            knn_ids = train_knn_fn(shard)
+            g, _ = build_roargraph(shard, knn_ids, cfg, verbose=verbose)
         adjs.append(g.ids)
         width = max(width, g.ids.shape[1])
         if seed_centroids:
@@ -188,7 +272,8 @@ def sharded_search_step(mesh: Mesh, *, k: int, L: int, metric: Metric,
         all_d = jnp.moveaxis(all_d, 0, 1).reshape(Bq, -1)
         sd, si = jax.lax.sort((all_d, all_i), num_keys=2)
         out_i = jnp.where(si[:, :k] == BIG, -1, si[:, :k])
-        return out_i, sd[:, :k]
+        # per-shard work counters (observability: device balance)
+        return (out_i, sd[:, :k], res.cmps[None, :], res.hops[None, :])
 
     specs = [P("shard"), P("shard"), P("shard"), P("shard"), P("dp")]
     if n_seeds:
@@ -196,14 +281,17 @@ def sharded_search_step(mesh: Mesh, *, k: int, L: int, metric: Metric,
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=tuple(specs),
-        out_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("shard", "dp"), P("shard", "dp")),
         check_vma=False)
     return jax.jit(fn)
 
 
 def sharded_search(index: ShardedRoarGraph, queries, cfg: SearchConfig,
-                   mesh: Mesh | None = None):
-    """Host wrapper: place arrays on the mesh and run the SPMD step."""
+                   mesh: Mesh | None = None, *, with_stats: bool = False):
+    """Host wrapper: place arrays on the mesh and run the SPMD step.
+
+    ``with_stats=True`` additionally returns per-shard work counters
+    (cmps [S, Q], hops [S, Q]) for device-balance observability."""
     S = index.num_shards
     if mesh is None:
         mesh = make_mesh(S, 1)
@@ -223,8 +311,11 @@ def sharded_search(index: ShardedRoarGraph, queries, cfg: SearchConfig,
             jnp.asarray(queries)]
     if n_seeds:
         args += [jnp.asarray(index.seed_ids), jnp.asarray(index.seed_vecs)]
-    ids, dists = step(*args)
+    ids, dists, cmps, hops = step(*args)
     ids, dists = np.asarray(ids), np.asarray(dists)
+    if with_stats:
+        return (ids[:Q], dists[:Q], np.asarray(cmps)[:, :Q],
+                np.asarray(hops)[:, :Q])
     return ids[:Q], dists[:Q]
 
 

@@ -512,7 +512,8 @@ def search(
                                 segment=config.segment_hops)
     adj = jnp.asarray(graph.ids)
     base_dev = jnp.asarray(base)
-    queries = np.asarray(queries)
+    # device-resident: a jnp query array is sliced on device, not re-uploaded
+    queries = jnp.asarray(queries)
     Q = queries.shape[0]
     Bsz = min(config.batch_size, Q) if Q else config.batch_size
     ep = jnp.int32(graph.ep)
@@ -539,9 +540,8 @@ def search(
         e = min(s + Bsz, Q)
         qb = queries[s:e]
         if e - s < Bsz:
-            qb = np.concatenate(
-                [qb, np.zeros((Bsz - (e - s), qb.shape[1]), qb.dtype)])
-        qd = jnp.asarray(qb)
+            qb = jnp.pad(qb, ((0, Bsz - (e - s)), (0, 0)))
+        qd = qb
         init_ids = init_dists = None
         if seed_fn is not None:
             init_ids, init_dists = seed_fn(qd)

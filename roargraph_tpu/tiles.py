@@ -42,6 +42,104 @@ BIG = jnp.int32(2**31 - 1)
 
 
 # ---------------------------------------------------------------------------
+# Pallas fused frontier-scan kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation of the per-hop cluster scan (`tiles[f]` gather then
+# dot) materializes a [B, C, D] buffer in HBM: one pass to write the gather,
+# one to read it back into the MXU — 3x the bytes of the tiles themselves.
+# This kernel streams each query's frontier cluster HBM→VMEM with
+# double-buffered async DMA (pallas_guide.md pattern) and contracts it
+# against the query entirely in VMEM, so every tile byte crosses HBM exactly
+# once. The scan layout is transposed+padded `[K, D_pad, C]`: the DMA'd
+# slice's minor dims (D_pad sublanes, C lanes) are tile-aligned, and
+# `[1, D_pad] @ [D_pad, C]` is a direct MXU contraction.
+
+def _pad_d(D: int) -> int:
+    return -(-D // 32) * 32
+
+
+_GQ = 8  # queries per grid step (sublane tile); even → DMA parity carries
+
+
+def _scan_kernel(f_ref, q_ref, tiles_ref, out_ref, scratch, sems):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    nq = pl.num_programs(0) * _GQ
+
+    def get_dma(slot, b):
+        return pltpu.make_async_copy(tiles_ref.at[f_ref[b]],
+                                     scratch.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    base = i * _GQ
+    rows = []
+    for j in range(_GQ):  # static unroll: all slices below are static
+        b = base + j
+
+        @pl.when(b + 1 < nq)
+        def _():
+            get_dma((j + 1) % 2, b + 1).start()
+
+        get_dma(j % 2, b).wait()
+        tile = scratch[j % 2]                             # [Dp, C]
+        rows.append(jax.lax.dot_general(
+            q_ref[j:j + 1, :], tile.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))          # [1, C]
+    out_ref[:, :] = jnp.concatenate(rows, axis=0)
+
+
+def _scan_clusters_pallas(tiles_t, f, queries, *, interpret: bool = False):
+    """dots[b, :] = queries[b] @ tiles_t[f[b]] — [B, C] f32, one HBM pass.
+
+    ``tiles_t``: [K, D_pad, C] (see :func:`upload`); ``queries`` [B, D_pad]
+    f32, B a multiple of 8. On real hardware C must be a multiple of 128
+    (lane tiling)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, Dp, C = tiles_t.shape
+    B = queries.shape[0]
+    if not interpret and C % 128:
+        raise ValueError(f"pallas scan needs cluster_size % 128 == 0, "
+                         f"got {C}")
+    if B % _GQ:
+        raise ValueError(f"pallas scan needs batch % {_GQ} == 0, got {B}")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // _GQ,),
+        in_specs=[
+            pl.BlockSpec((_GQ, Dp), lambda i, f_ref: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),      # tiles stay in HBM
+        ],
+        out_specs=pl.BlockSpec((_GQ, C), lambda i, f_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, Dp, C), tiles_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _scan_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * C * Dp,
+            bytes_accessed=B * C * Dp * tiles_t.dtype.itemsize + B * C * 4,
+            transcendentals=0),
+    )(f, queries, tiles_t)
+
+
+# ---------------------------------------------------------------------------
 # Index container
 # ---------------------------------------------------------------------------
 
@@ -236,31 +334,74 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
 # Search
 # ---------------------------------------------------------------------------
 
+def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
+    """dots[b, :] = qp[b] @ tiles_t[f[b]] via cluster-grouped batched matmul.
+
+    At serving batch sizes many queries share a frontier cluster (B >> K), so
+    per-query tile reads are redundant. Group queries by cluster on device
+    (stable sort + rank), pad each cluster's queries to rows of ``nq_max``
+    (hot clusters get multiple rows), and compute ONE batched [G, nq_max, Dp]
+    x [G, Dp, C] MXU contraction. G = K + B//nq_max is static; each tile is
+    read ~once per hop instead of once per query. Exactly the same per-query
+    scores as the per-query paths (same dot, same tile)."""
+    K, Dp, C = tiles_t.shape
+    B = qp.shape[0]
+    G = K + max(B // nq_max, 1)
+    ord_ = jnp.argsort(f, stable=True)
+    fs = f[ord_]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), fs[1:] != fs[:-1]])
+    firstidx = jax.lax.cummax(jnp.where(first, idx, 0))
+    rank = idx - firstidx
+    boundary = first | (rank % nq_max == 0)
+    row = jnp.cumsum(boundary.astype(jnp.int32)) - 1         # [B] in [0, G)
+    slot = rank % nq_max
+    tile_of = jnp.zeros((G,), jnp.int32).at[row].max(fs)
+    Q = jnp.zeros((G, nq_max, Dp), qp.dtype).at[row, slot].set(qp[ord_])
+    qidx = jnp.full((G, nq_max), B, jnp.int32).at[row, slot].set(ord_)
+    tg = tiles_t[tile_of]                                    # [G, Dp, C]
+    sg = jax.lax.dot_general(
+        Q, tg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [G, nq_max, C]
+    out = jnp.zeros((B, C), jnp.float32).at[qidx.reshape(-1)].set(
+        sg.reshape(-1, C), mode="drop")
+    return out
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "T", "Lc", "metric", "use_graph"))
+    static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl"))
 def tile_search_batch(
-    tiles: jnp.ndarray,      # [K, C, D]
+    tiles_t: jnp.ndarray,    # [K, D_pad, C] transposed scan layout (upload())
     gids: jnp.ndarray,       # [K, C] int32
     centroids: jnp.ndarray,  # [K, D]
     adj: jnp.ndarray,        # [K, Mc] int32
     queries: jnp.ndarray,    # [B, D]
+    norms: jnp.ndarray | None = None,  # [K, C] |v|^2, required for L2
     *,
     k: int,
     T: int,                  # clusters scanned per query (the sweep knob)
     Lc: int,                 # cluster-queue width (>= T)
     metric: Metric,
     use_graph: bool = True,
+    scan_impl: str = "xla",  # "grouped" | "xla" | "pallas" |
+                             # "pallas_interpret"
 ):
     """Lockstep tile search: a fixed ``T``-step fori_loop (static shapes, no
     data-dependent control flow), one MXU contraction per expanded cluster.
 
+    ``scan_impl="pallas"`` runs the per-hop cluster scan as the fused
+    double-buffered DMA kernel (:func:`_scan_clusters_pallas`) — every tile
+    byte crosses HBM once instead of thrice.
+
     Returns (ids [B, k] int32 global, dists [B, k], cmps [B], hops [B]).
     """
-    K, C, D = tiles.shape
+    K, Dp, C = tiles_t.shape
     B = queries.shape[0]
     Wc = (K + 31) // 32
     Lc = min(Lc, K)
+    if metric is Metric.L2 and norms is None:
+        raise ValueError("L2 tile search needs precomputed norms (upload())")
 
     # frontier ordering: all-centroid scores, one [B, K] contraction
     s = pairwise_scores(queries, centroids, metric,
@@ -276,6 +417,7 @@ def tile_search_batch(
     hops = jnp.zeros((B,), jnp.int32)
     b_arange = jnp.arange(B)
     qf = queries.astype(jnp.float32)
+    qp = jnp.pad(qf, ((0, 0), (0, Dp - qf.shape[1])))  # zero-padded to D_pad
 
     def hop(_, state):
         q_d, q_i, q_e, visited, rk_d, rk_i, cmps, hops = state
@@ -292,15 +434,20 @@ def tile_search_batch(
                       visited[b_arange, w]))
 
         # ---- scan the cluster: one sequential block read + one matmul ----
-        tile = tiles[f]                                   # [B, C, D] blocks
         ids = gids[f]                                     # [B, C]
-        dots = jax.lax.dot_general(
-            tile, qf, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [B, C]
+        if scan_impl == "grouped":
+            dots = _scan_clusters_grouped(tiles_t, f, qp)
+        elif scan_impl == "xla":
+            tile = tiles_t[f]                             # [B, Dp, C] blocks
+            dots = jax.lax.dot_general(
+                tile, qp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # [B, C]
+        else:
+            dots = _scan_clusters_pallas(
+                tiles_t, f, qp, interpret=(scan_impl == "pallas_interpret"))
         if metric is Metric.L2:
             qn = jnp.sum(qf * qf, axis=1, keepdims=True)
-            vn = jnp.sum(tile.astype(jnp.float32) ** 2, axis=2)
-            sc = qn + vn - 2.0 * dots
+            sc = qn + norms[f] - 2.0 * dots
         else:
             sc = -dots
         live = (ids != PAD) & active[:, None]
@@ -347,17 +494,23 @@ def tile_search_batch(
 def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
                 Lc: int | None = None, metric: Metric | str = Metric.IP,
                 use_graph: bool = True, batch_size: int = 2048,
-                device_arrays: tuple | None = None):
+                device_arrays: tuple | None = None,
+                scan_impl: str = "auto"):
     """Host wrapper: loop device-sized query blocks; returns numpy
     (ids [Q, k], dists [Q, k], cmps [Q], hops [Q]).
 
-    ``device_arrays`` — optional pre-uploaded (tiles, gids, centroids, adj)
-    to share one upload across sweep points."""
+    ``device_arrays`` — optional pre-uploaded :func:`upload` tuple to share
+    one upload across sweep points. ``scan_impl``: "auto" uses the fused
+    Pallas scan on TPU, the XLA gather+dot elsewhere."""
     metric = Metric.parse(metric)
     if device_arrays is None:
         device_arrays = upload(index)
-    tiles, gids, cents, adj = device_arrays
-    queries = np.asarray(queries)
+    tiles, gids, cents, adj, norms = device_arrays
+    if scan_impl == "auto":
+        scan_impl = "grouped"
+    # keep queries device-resident (a jnp input is NOT pulled back to host —
+    # re-uploading the query set per sweep point costs more than a hop)
+    queries = jnp.asarray(queries)
     Q = queries.shape[0]
     Lc = Lc or max(T, 2 * T)
     Bsz = min(batch_size, Q) if Q else batch_size
@@ -370,11 +523,10 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
         e = min(s + Bsz, Q)
         qb = queries[s:e]
         if e - s < Bsz:
-            qb = np.concatenate(
-                [qb, np.zeros((Bsz - (e - s), qb.shape[1]), qb.dtype)])
-        res = tile_search_batch(tiles, gids, cents, adj, jnp.asarray(qb),
-                                k=k, T=T, Lc=Lc, metric=metric,
-                                use_graph=use_graph)
+            qb = jnp.pad(qb, ((0, Bsz - (e - s)), (0, 0)))
+        res = tile_search_batch(tiles, gids, cents, adj, qb,
+                                norms, k=k, T=T, Lc=Lc, metric=metric,
+                                use_graph=use_graph, scan_impl=scan_impl)
         pending.append((s, e, res))
     for s, e, res in pending:
         ids[s:e] = np.asarray(res[0])[: e - s]
@@ -384,7 +536,19 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
     return ids, dists, cmps, hops
 
 
+@functools.partial(jax.jit, static_argnames=("Dp",))
+def _to_scan_layout(tiles, *, Dp):
+    tt = jnp.pad(tiles, ((0, 0), (0, 0), (0, Dp - tiles.shape[2])))
+    norms = jnp.sum(tiles.astype(jnp.float32) ** 2, axis=2)
+    return jnp.swapaxes(tt, 1, 2), norms
+
+
 def upload(index: TileIndex) -> tuple:
-    """One-time device upload of the searchable arrays."""
-    return (jnp.asarray(index.tiles), jnp.asarray(index.gids),
-            jnp.asarray(index.centroids), jnp.asarray(index.adj))
+    """One-time device upload of the searchable arrays: the transposed
+    ``[K, D_pad, C]`` scan layout (tile-aligned minor dims for the DMA
+    kernel, and equally valid for the XLA contraction) plus per-vector
+    squared norms (the L2 score term)."""
+    D = index.tiles.shape[2]
+    tiles_t, norms = _to_scan_layout(jnp.asarray(index.tiles), Dp=_pad_d(D))
+    return (tiles_t, jnp.asarray(index.gids),
+            jnp.asarray(index.centroids), jnp.asarray(index.adj), norms)

@@ -54,6 +54,8 @@ print(f"K={tidx.num_clusters} C={tidx.cluster_size} batch={BATCH} "
 gt_ids, _ = knn(eval_q, base, k=K, metric="ip")
 
 dev = upload(tidx)
+import jax.numpy as _jnp
+eval_q = _jnp.asarray(eval_q)  # one upload shared by every sweep point
 
 
 def rec(ids):

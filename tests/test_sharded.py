@@ -65,6 +65,27 @@ def test_sharded_search_global_ids_valid(rng):
     assert (ids < 150).any() and (ids >= 150).any()
 
 
+def test_spmd_build_matches_sequential(rng):
+    """The SPMD sharded build (per-shard local kNN + phase-A prune in one
+    shard_map program) must produce bit-identical per-shard graphs to the
+    sequential host loop."""
+    base, train_q = make_crossmodal(rng, n_base=640, n_query=320, dim=16)
+    cfg = rt.BuildConfig(metric="ip", M_sq=16, M_pjbp=5, L_pjpq=24,
+                         prune_batch=64, search_batch=64)
+    mesh = make_mesh(4, 1)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip", tile=2048)[0]
+
+    seq = build_sharded(base, knn_fn, cfg, n_shards=4)
+    spmd = build_sharded(base, None, cfg, n_shards=4,
+                         train_queries=train_q, mesh=mesh)
+    np.testing.assert_array_equal(seq.adj, spmd.adj)
+    np.testing.assert_array_equal(seq.eps, spmd.eps)
+    np.testing.assert_array_equal(seq.offsets, spmd.offsets)
+    np.testing.assert_allclose(seq.base, spmd.base)
+
+
 def test_sharded_search_with_seeds(rng):
     base, train_q = make_crossmodal(rng, n_base=600, n_query=500, dim=16)
     eval_q = make_crossmodal(rng, n_base=1, n_query=48, dim=16)[1]

@@ -113,6 +113,22 @@ def test_npz_roundtrip(tmp_path, setup):
     assert np.allclose(t2.tiles, tidx.tiles)
 
 
+def test_pallas_scan_matches_xla(setup):
+    """The fused DMA scan kernel (interpret mode on CPU) must match the XLA
+    gather+dot path: same clusters scanned -> same results."""
+    _, queries, _, tidx, gt_ids = setup
+    from roargraph_tpu.tiles import upload
+    dev = upload(tidx)
+    a = tile_search(tidx, queries[:64], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=64, device_arrays=dev, scan_impl="xla")
+    b = tile_search(tidx, queries[:64], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=64, device_arrays=dev,
+                    scan_impl="pallas_interpret")
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(a[2], b[2])
+
+
 def test_l2_metric(setup):
     base, queries, graph, _, _ = setup
     tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="l2")
