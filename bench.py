@@ -70,8 +70,10 @@ def main():
     import jax.numpy as jnp
     base_dev = jnp.asarray(base)  # single upload shared by gt/build/search
     eval_q = jnp.asarray(eval_q)  # ditto for the sweeps' query set
-    cfg = rt.BuildConfig(metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
-                         prune_batch=1024, search_batch=1024)
+    cfg = rt.BuildConfig(
+        metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
+        prune_batch=int(os.environ.get("BENCH_PRUNE_BATCH", 1024)),
+        search_batch=int(os.environ.get("BENCH_SEARCH_BATCH", 1024)))
 
     cache = os.path.join("build",
                          f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")
@@ -131,17 +133,17 @@ def main():
     tile_dev = upload(tidx)
     T_values = [4, 6, 8, 12, 16, 24, 32, 48]
 
-    def tile_fn(c):
+    def tile_fn(T):
         # sweep knob: clusters scanned per query (rides the L_pq column)
-        return tile_search(tidx, eval_q, k=c.k, T=c.L_pq,
-                           Lc=max(2 * c.L_pq, 16), metric=c.metric,
+        return tile_search(tidx, eval_q, k=K, T=T,
+                           Lc=max(2 * T, 16), metric=rt.Metric.IP,
                            batch_size=batch, device_arrays=tile_dev)
 
     log(f"tile sweep ({tile_dtype}, C={tidx.cluster_size}, "
         f"K={tidx.num_clusters}; column 1 is T = clusters scanned):")
     tile_rows = reval.sweep(tile_fn, T_values, gt_ids, k=K,
                             metric=rt.Metric.IP, n_queries=N_EVAL,
-                            verbose="stderr")
+                            verbose="stderr", raw=True)
     tile_qps = reval.qps_at_recall(tile_rows, TARGET)
 
     # --- flat engine sweeps: reference-parity (medoid start) + seeded ---

@@ -58,9 +58,14 @@ def sweep(
     warmup: bool = True,
     csv_path: str | None = None,
     verbose: bool = True,
+    raw: bool = False,
 ) -> list:
     """Run the L_pq sweep. ``search_fn(cfg)`` must return
     (ids, dists, cmps, hops) for the full query set.
+
+    With ``raw=True`` the sweep values are passed to ``search_fn`` verbatim
+    (engines whose knob is not an L_pq — e.g. the tile engine's T, which may
+    legitimately be smaller than k — build their own config).
 
     Returns a list of row dicts; optionally writes the reference's CSV."""
     rows = []
@@ -69,7 +74,7 @@ def sweep(
         print("L_pq\tQPS\tavg_visited\tmean_latency\trecall@%d\tavg_hops" % k,
               file=out)
     for L in L_values:
-        cfg = SearchConfig(k=k, L_pq=int(L), metric=metric)
+        cfg = int(L) if raw else SearchConfig(k=k, L_pq=int(L), metric=metric)
         warm_dt = float("inf")
         if warmup:
             # compile + warm caches (parity: ``:198-200``)

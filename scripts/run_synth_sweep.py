@@ -1,0 +1,92 @@
+"""Full reference search-sweep protocol on the synthetic bench build.
+
+Runs the reference's exact 57-point L_pq sweep (10..2000, the list in
+``/root/reference/run_roargraph_search_test.sh:13``) with k=10 over the
+cached bench index (``bench.py``'s synthetic t2i-shaped workload), medoid
+start (reference parity), and writes the reference CSV format
+(``L_pq,qps,avg_cmps,mean_latency_ms,recall,rderr,avg_hops`` — the rderr
+column included as in ``tests/test_search_bipartite.cpp:229-232``).
+
+Artifact: eval_roargraph.csv at the repo root (VERDICT r1 item 5).
+
+Env knobs: SWEEP_N / SWEEP_TRAIN / SWEEP_D / SWEEP_SEED select which cached
+bench index to use (defaults match bench.py defaults); SWEEP_CSV overrides
+the output path; SWEEP_BATCH the device batch.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the reference's exact sweep (57 points)
+L_SWEEP = [10, 15, 20, 25, 30, 35, 40, 45, 50, 55, 60, 65, 70, 75, 80, 85,
+           90, 95, 100, 110, 120, 130, 140, 150, 160, 170, 180, 190, 200,
+           220, 240, 260, 280, 300, 350, 400, 450, 500, 550, 600, 650, 700,
+           750, 800, 900, 1000, 1100, 1200, 1300, 1400, 1500, 1600, 1700,
+           1800, 1900, 2000]
+
+
+def main():
+    N = int(os.environ.get("SWEEP_N", 100_000))
+    N_TRAIN = int(os.environ.get("SWEEP_TRAIN", 50_000))
+    N_EVAL = int(os.environ.get("SWEEP_EVAL", 8_192))
+    D = int(os.environ.get("SWEEP_D", 200))
+    SEED = int(os.environ.get("SWEEP_SEED", 0))
+    K = 10
+    batch = int(os.environ.get("SWEEP_BATCH", 8192))
+    csv_path = os.environ.get("SWEEP_CSV", "eval_roargraph.csv")
+
+    import roargraph_tpu as rt
+    from roargraph_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    from roargraph_tpu import eval as reval
+    from roargraph_tpu.ops.topk import knn
+    from roargraph_tpu.search import search
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import make_data
+
+    cache = os.path.join("build", f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")
+    if not os.path.exists(cache):
+        raise SystemExit(f"no cached index at {cache}; run bench.py first")
+    graph = rt.PaddedGraph.load_npz(cache)
+    base, _, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
+    base_dev = jnp.asarray(base)
+    eval_q = jnp.asarray(eval_q)
+    gt_ids, gt_dists = knn(eval_q, base_dev, k=K, metric="ip")
+    # gt dists in the reference's stored convention (raw IP, positive):
+    # our IP scores are negated; rderr() un-negates ours, so hand it raw dots
+    gt_dists = -np.asarray(gt_dists)
+
+    print(f"platform={jax.devices()[0].platform} N={N} D={D} "
+          f"queries={N_EVAL} index={cache}", file=sys.stderr, flush=True)
+
+    # bucketed compile reuse: one program per bucket serves every L_pq in it
+    buckets = [100, 512, 1024, 2048]
+
+    def fn(c):
+        bucket = next(b for b in buckets if c.L_pq <= b)
+        c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
+                             batch_size=batch, L_bucket=bucket)
+        return search(graph, base_dev, eval_q, c2)
+
+    t0 = time.time()
+    rows = reval.sweep(fn, L_SWEEP, np.asarray(gt_ids), k=K,
+                       metric=rt.Metric.IP, n_queries=N_EVAL,
+                       gt_dists=gt_dists, csv_path=csv_path, verbose=True)
+    print(f"# sweep wall: {time.time() - t0:.1f}s -> {csv_path}",
+          file=sys.stderr, flush=True)
+    best = reval.qps_at_recall(rows, 0.95)
+    peak = max(r["recall"] for r in rows)
+    print(f"# qps@0.95={best}  peak_recall={peak:.4f}",
+          file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

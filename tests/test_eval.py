@@ -44,3 +44,22 @@ def test_sweep_and_qps_at_recall(tmp_path):
     assert reval.qps_at_recall(rows, 2.0) is None
     lines = open(csv_path).read().strip().splitlines()
     assert len(lines) == 3 and lines[0].startswith("10,")
+
+
+def test_sweep_raw_values_below_k():
+    # raw mode: the knob goes to search_fn verbatim (tile engine's T may be
+    # < k, which SearchConfig would reject as an L_pq)
+    gt = np.tile(np.arange(10), (20, 1))
+    perfect = np.tile(np.arange(10), (20, 1))
+    seen = []
+
+    def fake_search(T):
+        seen.append(T)
+        return perfect, np.zeros((20, 10), np.float32), \
+            np.full(20, T), np.full(20, 3)
+
+    rows = reval.sweep(fake_search, [4, 8, 16], gt, k=10, metric=Metric.IP,
+                       n_queries=20, verbose=False, raw=True)
+    assert seen[::2] == [4, 8, 16]  # warmup + timed call per point
+    assert [r["L_pq"] for r in rows] == [4, 8, 16]
+    assert all(r["recall"] == 1.0 for r in rows)
