@@ -1,2 +1,3 @@
 from .sharded import (ShardedRoarGraph, build_sharded, make_mesh,  # noqa
-                      sharded_knn, sharded_search)
+                      make_mesh2, sharded_knn, sharded_search,
+                      sharded_search_2level)

@@ -320,6 +320,96 @@ def sharded_search(index: ShardedRoarGraph, queries, cfg: SearchConfig,
 
 
 # ---------------------------------------------------------------------------
+# Two-level (multi-slice) search: ICI merge within a slice, k-sized DCN merge
+# ---------------------------------------------------------------------------
+
+def make_mesh2(n_slice: int, n_shard: int, n_dp: int = 1,
+               devices: Sequence | None = None) -> Mesh:
+    """Two-level mesh for DCN multi-slice serving (DESIGN.md): the leading
+    ``slice`` axis maps to ICI-connected slices joined by DCN; ``shard`` is
+    the intra-slice base partition."""
+    need = n_slice * n_shard * n_dp
+    devs = np.array(devices if devices is not None else jax.devices()[:need])
+    if devs.size < need:
+        raise ValueError(f"need {need} devices, have {devs.size}")
+    return Mesh(devs[:need].reshape(n_slice, n_dp, n_shard),
+                ("slice", "dp", "shard"))
+
+
+def sharded_search_2level_step(mesh: Mesh, *, k: int, L: int, metric: Metric,
+                               max_hops: int):
+    """SPMD step over a ``("slice", "dp", "shard")`` mesh.
+
+    Collective schedule (DESIGN.md "DCN multi-slice"): per-device beam
+    search; ``all_gather`` over ``shard`` (ICI) + two-key sort for the
+    intra-slice top-k; ONE ``all_gather`` over ``slice`` (DCN) of the
+    already-merged ``[B, k]`` pairs + a final sort. Only k-sized results
+    cross the slice axis. Top-k of per-slice top-ks equals the global
+    top-k, so results are identical to the flat single-axis merge.
+    """
+
+    def local(adj, base, eps, offsets, queries):
+        res = beam_search_batch(
+            adj[0], base[0], queries, eps[0],
+            k=k, L=L, metric=metric, max_hops=max_hops)
+        gids = jnp.where(res.ids >= 0, res.ids + offsets[0], jnp.int32(BIG))
+        gd = jnp.where(res.ids >= 0, res.dists, jnp.inf)
+        Bq = queries.shape[0]
+
+        def merge(all_i, all_d):
+            ai = jnp.moveaxis(all_i, 0, 1).reshape(Bq, -1)
+            ad = jnp.moveaxis(all_d, 0, 1).reshape(Bq, -1)
+            sd, si = jax.lax.sort((ad, ai), num_keys=2)
+            return si[:, :k], sd[:, :k]
+
+        # (1) intra-slice merge: rides ICI, per-candidate traffic stays local
+        si, sd = merge(jax.lax.all_gather(gids, "shard"),
+                       jax.lax.all_gather(gd, "shard"))
+        # (2) cross-slice merge: ONE k-sized all_gather over DCN
+        si, sd = merge(jax.lax.all_gather(si, "slice"),
+                       jax.lax.all_gather(sd, "slice"))
+        return jnp.where(si == BIG, -1, si), sd
+
+    shard2 = P(("slice", "shard"))
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(shard2, shard2, shard2, shard2, P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_search_2level(index: ShardedRoarGraph, queries,
+                          cfg: SearchConfig, mesh: Mesh):
+    """Search a ShardedRoarGraph over a two-level ``make_mesh2`` mesh.
+
+    ``index.num_shards`` must equal ``n_slice * n_shard``; shard s of slice
+    t owns global shard ``t * n_shard + s`` (contiguous two-level
+    partition). Returns (ids [Q, k] global, dists [Q, k]) — identical to
+    :func:`sharded_search` on the same partition."""
+    S = index.num_shards
+    n_slice = mesh.shape["slice"]
+    n_shard = mesh.shape["shard"]
+    if S != n_slice * n_shard:
+        raise ValueError(f"index has {S} shards, mesh wants "
+                         f"{n_slice}x{n_shard}")
+    dp = mesh.shape["dp"]
+    queries = np.asarray(queries)
+    Q = queries.shape[0]
+    pad = (-Q) % dp
+    if pad:
+        queries = np.concatenate(
+            [queries, np.zeros((pad, queries.shape[1]), queries.dtype)])
+    step = sharded_search_2level_step(
+        mesh, k=cfg.k, L=cfg.L_pq, metric=cfg.metric,
+        max_hops=cfg.effective_max_hops)
+    ids, dists = step(jnp.asarray(index.adj), jnp.asarray(index.base),
+                      jnp.asarray(index.eps), jnp.asarray(index.offsets),
+                      jnp.asarray(queries))
+    return np.asarray(ids)[:Q], np.asarray(dists)[:Q]
+
+
+# ---------------------------------------------------------------------------
 # Sharded groundtruth (base-sharded exact k-NN)
 # ---------------------------------------------------------------------------
 

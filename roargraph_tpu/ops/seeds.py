@@ -37,25 +37,84 @@ class SeedIndex:
             return SeedIndex(z["seed_ids"], z["seed_vecs"])
 
 
+def _assign_chunk(n: int, n_centroids: int) -> int:
+    """Chunk so the [chunk, C] score block stays ~256 MB (the full [N, C]
+    block is 62 GB at N=1M, C=15k — far past HBM)."""
+    c = max(1024, (1 << 26) // max(n_centroids, 1))
+    c = min(c, max(n, 1))
+    return -(-n // -(-n // c))  # even chunking: ceil(n / ceil(n/c))
+
+
 @functools.partial(jax.jit, static_argnames=("n_centroids", "iters"))
 def _kmeans(base, key, *, n_centroids, iters):
-    """Lloyd's k-means (L2) on device; returns centroids [C, D]."""
-    n = base.shape[0]
+    """Lloyd's k-means (L2) on device; returns centroids [C, D].
+
+    Assignment is chunked over base rows (``lax.map``): each chunk scores
+    [chunk, C] on the MXU, then scatter-adds its members into per-centroid
+    sums — memory stays O(chunk * C) regardless of N."""
+    n, d_dim = base.shape
     idx = jax.random.choice(key, n, (n_centroids,), replace=False)
     centroids = base[idx]
+    chunk = _assign_chunk(n, n_centroids)
+    pad = (-n) % chunk
+    basep = jnp.pad(base, ((0, pad), (0, 0)))
+    valid = jnp.arange(n + pad) < n
+    G = (n + pad) // chunk
+    bs = basep.reshape(G, chunk, d_dim)
+    vs = valid.reshape(G, chunk)
 
     def step(centroids, _):
-        d = pairwise_scores(base, centroids, Metric.L2,
-                            precision=jax.lax.Precision.DEFAULT)  # [N, C]
-        assign = jnp.argmin(d, axis=1)
-        one_hot = jax.nn.one_hot(assign, n_centroids, dtype=base.dtype)
-        sums = one_hot.T @ base
-        counts = one_hot.sum(axis=0)[:, None]
+        def one(args):
+            xc, vc = args
+            d = pairwise_scores(xc, centroids, Metric.L2,
+                                precision=jax.lax.Precision.DEFAULT)
+            a = jnp.argmin(d, axis=1)
+            a = jnp.where(vc, a, n_centroids)  # pad rows scatter-drop
+            sums = jnp.zeros((n_centroids, d_dim), base.dtype).at[a].add(
+                xc, mode="drop")
+            counts = jnp.zeros((n_centroids,), base.dtype).at[a].add(
+                1.0, mode="drop")
+            return sums, counts
+
+        sums, counts = jax.lax.map(one, (bs, vs))
+        sums = sums.sum(axis=0)
+        counts = counts.sum(axis=0)[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
         return new, None
 
     centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
     return centroids
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _nearest_member(base, cents):
+    """argmin_{x in base} L2(x, c) per centroid, chunked over base rows."""
+    n, d_dim = base.shape
+    C = cents.shape[0]
+    chunk = _assign_chunk(n, C)
+    pad = (-n) % chunk
+    basep = jnp.pad(base, ((0, pad), (0, 0)))
+    valid = jnp.arange(n + pad) < n
+    G = (n + pad) // chunk
+    bs = basep.reshape(G, chunk, d_dim)
+    vs = valid.reshape(G, chunk)
+    offs = jnp.arange(G, dtype=jnp.int32) * chunk
+
+    def one(carry, args):
+        bd, bi = carry
+        xc, vc, off = args
+        d = pairwise_scores(cents, xc, Metric.L2,
+                            precision=jax.lax.Precision.DEFAULT)  # [C, chunk]
+        d = jnp.where(vc[None, :], d, jnp.inf)
+        m = jnp.argmin(d, axis=1)
+        md = jnp.take_along_axis(d, m[:, None], axis=1)[:, 0]
+        upd = md < bd
+        return (jnp.where(upd, md, bd),
+                jnp.where(upd, off + m.astype(jnp.int32), bi)), None
+
+    init = (jnp.full((C,), jnp.inf, jnp.float32), jnp.zeros((C,), jnp.int32))
+    (bd, bi), _ = jax.lax.scan(one, init, (bs, vs, offs))
+    return bi
 
 
 def build_seeds(base, *, n_centroids: int = 1024, iters: int = 5,
@@ -68,10 +127,8 @@ def build_seeds(base, *, n_centroids: int = 1024, iters: int = 5,
     base_dev = jnp.asarray(base)
     cents = _kmeans(base_dev, jax.random.PRNGKey(seed),
                     n_centroids=n_centroids, iters=iters)
-    # representative = argmin_{x in base} L2(x, centroid), batched over cents
-    d = pairwise_scores(cents, base_dev, Metric.L2,
-                        precision=jax.lax.Precision.DEFAULT)  # [C, N]
-    reps = np.asarray(jnp.argmin(d, axis=1)).astype(np.int64)
+    # representative = argmin_{x in base} L2(x, centroid), chunked over base
+    reps = np.asarray(_nearest_member(base_dev, cents)).astype(np.int64)
     reps = np.unique(reps)
     return SeedIndex(seed_ids=reps.astype(np.int32), seed_vecs=base[reps])
 

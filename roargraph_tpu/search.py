@@ -51,6 +51,24 @@ from .ops.distance import batched_scores, pointwise_scores
 BIG = jnp.int32(2**31 - 1)  # internal queue padding id (sorts after real ids)
 
 
+@functools.partial(jax.jit, donate_argnums=())
+def pack_results(ids, dists, cmps, hops):
+    """Pack the four per-batch result arrays into ONE [B, 2k+2] int32 buffer
+    (dists bitcast) on device. Through a high-RTT device relay, four
+    separate D2H fetches cost more than the search itself; the host unpacks
+    with :func:`unpack_results`."""
+    return jnp.concatenate(
+        [ids, jax.lax.bitcast_convert_type(dists, jnp.int32),
+         cmps[:, None], hops[:, None]], axis=1)
+
+
+def unpack_results(packed: np.ndarray, k: int):
+    """Host-side inverse of :func:`pack_results` (numpy in, numpy out)."""
+    ids = packed[:, :k]
+    dists = packed[:, k: 2 * k].copy().view(np.float32)
+    return ids, dists, packed[:, 2 * k], packed[:, 2 * k + 1]
+
+
 class SearchResult(NamedTuple):
     ids: jnp.ndarray     # [B, k] int32 (-1 where fewer than k results)
     dists: jnp.ndarray   # [B, k] f32
@@ -556,12 +574,11 @@ def search(
             gather_chunk=config.gather_chunk,
             expand_width=config.expand_width,
             init_ids=init_ids, init_dists=init_dists, L_eff=L_eff)
-        pending.append((s, e, res))
+        pending.append((s, e, pack_results(res.ids, res.dists,
+                                           res.cmps, res.hops)))
     for s, e, res in pending:
-        ids[s:e] = np.asarray(res.ids)[: e - s]
-        dists[s:e] = np.asarray(res.dists)[: e - s]
-        cmps[s:e] = np.asarray(res.cmps)[: e - s]
-        hops[s:e] = np.asarray(res.hops)[: e - s]
+        bi, bd, bc, bh = unpack_results(np.asarray(res)[: e - s], config.k)
+        ids[s:e], dists[s:e], cmps[s:e], hops[s:e] = bi, bd, bc, bh
     if config.check_min_results and (ids < 0).any():
         short = int((ids < 0).any(axis=1).sum())
         raise RuntimeError(

@@ -491,6 +491,22 @@ def tile_search_batch(
     return out_i, rk_d, cmps, hops
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl"))
+def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms, *,
+                        k, T, Lc, metric, use_graph, scan_impl):
+    """tile_search_batch + on-device packing of the four results into ONE
+    [B, 2k+2] int32 array (dists bitcast). The serving host fetches a single
+    buffer per batch — through a high-RTT device relay, four separate D2H
+    transfers cost more than the whole hop loop."""
+    from .search import pack_results
+    ids, dists, cmps, hops = tile_search_batch(
+        tiles_t, gids, centroids, adj, queries, norms, k=k, T=T, Lc=Lc,
+        metric=metric, use_graph=use_graph, scan_impl=scan_impl)
+    return pack_results(ids, dists, cmps, hops)
+
+
 def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
                 Lc: int | None = None, metric: Metric | str = Metric.IP,
                 use_graph: bool = True, batch_size: int = 2048,
@@ -524,15 +540,14 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
         qb = queries[s:e]
         if e - s < Bsz:
             qb = jnp.pad(qb, ((0, Bsz - (e - s)), (0, 0)))
-        res = tile_search_batch(tiles, gids, cents, adj, qb,
-                                norms, k=k, T=T, Lc=Lc, metric=metric,
-                                use_graph=use_graph, scan_impl=scan_impl)
+        res = _tile_search_packed(tiles, gids, cents, adj, qb,
+                                  norms, k=k, T=T, Lc=Lc, metric=metric,
+                                  use_graph=use_graph, scan_impl=scan_impl)
         pending.append((s, e, res))
+    from .search import unpack_results
     for s, e, res in pending:
-        ids[s:e] = np.asarray(res[0])[: e - s]
-        dists[s:e] = np.asarray(res[1])[: e - s]
-        cmps[s:e] = np.asarray(res[2])[: e - s]
-        hops[s:e] = np.asarray(res[3])[: e - s]
+        bi, bd, bc, bh = unpack_results(np.asarray(res)[: e - s], k)
+        ids[s:e], dists[s:e], cmps[s:e], hops[s:e] = bi, bd, bc, bh
     return ids, dists, cmps, hops
 
 

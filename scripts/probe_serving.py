@@ -59,13 +59,19 @@ print(f"K={tidx.num_clusters} C={tidx.cluster_size} B={BATCH} T={T} "
       f"scan={SCAN}", flush=True)
 
 
+def _force(out):
+    # the relay's block_until_ready does not actually wait; a scalar fetch
+    # drains the dispatch queue (verify SKILL.md gotcha)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def timeit(fn, reps=REPS):
-    fn()  # compile + warm
-    jax.block_until_ready(fn())
+    _force(fn())  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / reps
 
 

@@ -86,6 +86,34 @@ def test_spmd_build_matches_sequential(rng):
     np.testing.assert_allclose(seq.base, spmd.base)
 
 
+def test_two_level_merge_matches_flat(rng):
+    """DCN multi-slice schedule (DESIGN.md): the two-level merge (ICI
+    all_gather over 'shard', then ONE k-sized all_gather over 'slice') must
+    return exactly the flat single-axis merge on the same 8-shard
+    partition — top-k of per-slice top-ks is the global top-k."""
+    from roargraph_tpu.dist import make_mesh2, sharded_search_2level
+
+    base, train_q = make_crossmodal(rng, n_base=960, n_query=600, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=32, dim=16)[1]
+    cfg = rt.BuildConfig(metric="ip", M_sq=16, M_pjbp=5, L_pjpq=24,
+                         prune_batch=128, search_batch=64)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=8)
+    scfg = rt.SearchConfig(k=10, L_pq=24, metric="ip")
+    flat_ids, flat_d = sharded_search(index, eval_q, scfg,
+                                      mesh=make_mesh(8, 1))
+    two_ids, two_d = sharded_search_2level(index, eval_q, scfg,
+                                           mesh=make_mesh2(2, 4, 1))
+    np.testing.assert_array_equal(flat_ids, two_ids)
+    np.testing.assert_allclose(flat_d, two_d, rtol=1e-6, atol=1e-6)
+    four_ids, _ = sharded_search_2level(index, eval_q, scfg,
+                                        mesh=make_mesh2(4, 2, 1))
+    np.testing.assert_array_equal(flat_ids, four_ids)
+
+
 def test_sharded_search_with_seeds(rng):
     base, train_q = make_crossmodal(rng, n_base=600, n_query=500, dim=16)
     eval_q = make_crossmodal(rng, n_base=1, n_query=48, dim=16)[1]
