@@ -34,7 +34,18 @@ def main(argv=None):
     p.add_argument("--L_pq", type=int, nargs="+", required=True)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--evaluation_save_path", default="")
-    p.add_argument("--engine", choices=["tpu", "cpu"], default="tpu")
+    p.add_argument("--engine", choices=["tpu", "cpu", "tile"], default="tpu")
+    p.add_argument("--tile_index_path", default="",
+                   help="TileIndex .npz for --engine tile (built on the fly "
+                        "from the projection graph when absent/missing)")
+    p.add_argument("--tile_T", type=int, nargs="+", default=None,
+                   help="tile-engine sweep values: clusters scanned per "
+                        "query (defaults to the L_pq list capped at the "
+                        "cluster count)")
+    p.add_argument("--tile_C", type=int, default=256,
+                   help="tile cluster capacity (build-on-the-fly only)")
+    p.add_argument("--tile_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
     p.add_argument("--batch_size", type=int, default=2048)
     p.add_argument("--n_seeds", type=int, default=0,
                    help="per-query start candidates from a coarse quantizer "
@@ -57,6 +68,40 @@ def main(argv=None):
     for L in args.L_pq:
         if args.k > L:
             raise SystemExit("L_pq must greater or equal than k")
+
+    if args.engine == "tile":
+        import os
+
+        import jax.numpy as jnp
+
+        from ..tiles import TileIndex, build_tiles, tile_search, upload
+        if args.tile_index_path and os.path.exists(args.tile_index_path):
+            tidx = TileIndex.load_npz(args.tile_index_path)
+        else:
+            tidx = build_tiles(graph, base, cluster_size=args.tile_C,
+                               metric=metric)
+            if args.tile_index_path:
+                tidx.save_npz(args.tile_index_path)
+        if args.tile_dtype != "float32":
+            tidx = tidx.astype(jnp.bfloat16)
+        dev = upload(tidx)
+        T_values = args.tile_T or sorted(
+            {min(L, tidx.num_clusters) for L in args.L_pq})
+        print(f"tile engine: K={tidx.num_clusters} C={tidx.cluster_size} "
+              f"{args.tile_dtype}; sweep column 1 is T (clusters scanned)")
+
+        def tile_fn(T):
+            return tile_search(tidx, queries, k=args.k, T=T,
+                               Lc=max(2 * T, 16), metric=metric,
+                               batch_size=args.batch_size,
+                               device_arrays=dev)
+
+        reval.sweep(tile_fn, T_values, np.asarray(gt_ids), k=args.k,
+                    metric=metric, n_queries=queries.shape[0],
+                    gt_dists=np.asarray(gt_dists),
+                    csv_path=args.evaluation_save_path or None,
+                    verbose=True, raw=True)
+        return
 
     if args.engine == "cpu":
         from .. import native

@@ -273,3 +273,22 @@ def test_sparse_visited_matches_dense(rng, chunk):
             lists, base, queries[qi], 0, 5, 16, "ip")
         assert np.asarray(sparse.ids)[qi].tolist() == oids
         assert np.asarray(sparse.cmps)[qi] == ocmps
+
+
+def test_pack_unpack_roundtrip():
+    """pack_results bitcasts dists into the single fetched buffer; the host
+    inverse must recover ids/dists/cmps/hops exactly, inf and -0.0
+    included."""
+    ids = np.array([[3, -1, 7], [0, 2, 2**31 - 1]], np.int32)
+    dists = np.array([[1.5, np.inf, -2.25], [-0.0, 3e38, 1e-38]], np.float32)
+    cmps = np.array([11, 22], np.int32)
+    hops = np.array([2, 5], np.int32)
+    packed = np.asarray(rsearch.pack_results(
+        jnp.asarray(ids), jnp.asarray(dists), jnp.asarray(cmps),
+        jnp.asarray(hops)))
+    assert packed.shape == (2, 8) and packed.dtype == np.int32
+    bi, bd, bc, bh = rsearch.unpack_results(packed, 3)
+    np.testing.assert_array_equal(bi, ids)
+    np.testing.assert_array_equal(bd.view(np.int32), dists.view(np.int32))
+    np.testing.assert_array_equal(bc, cmps)
+    np.testing.assert_array_equal(bh, hops)
