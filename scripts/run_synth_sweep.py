@@ -38,6 +38,9 @@ def main():
     K = 10
     batch = int(os.environ.get("SWEEP_BATCH", 8192))
     csv_path = os.environ.get("SWEEP_CSV", "eval_roargraph.csv")
+    sweep_l = L_SWEEP
+    if os.environ.get("SWEEP_L"):  # partial rerun, e.g. after a device crash
+        sweep_l = [int(x) for x in os.environ["SWEEP_L"].split(",")]
 
     import roargraph_tpu as rt
     from roargraph_tpu.utils import enable_compilation_cache
@@ -68,7 +71,8 @@ def main():
           f"queries={N_EVAL} index={cache}", file=sys.stderr, flush=True)
 
     # bucketed compile reuse: one program per bucket serves every L_pq in it
-    buckets = [100, 512, 1024, 2048]
+    buckets = [int(x) for x in os.environ.get(
+        "SWEEP_BUCKETS", "100,512,1024,2048").split(",")]
 
     def fn(c):
         bucket = next(b for b in buckets if c.L_pq <= b)
@@ -77,7 +81,7 @@ def main():
         return search(graph, base_dev, eval_q, c2)
 
     t0 = time.time()
-    rows = reval.sweep(fn, L_SWEEP, np.asarray(gt_ids), k=K,
+    rows = reval.sweep(fn, sweep_l, np.asarray(gt_ids), k=K,
                        metric=rt.Metric.IP, n_queries=N_EVAL,
                        gt_dists=gt_dists, csv_path=csv_path, verbose=True)
     print(f"# sweep wall: {time.time() - t0:.1f}s -> {csv_path}",
