@@ -84,7 +84,8 @@ def main():
     else:
         t0 = time.time()
         train_ids, _ = knn(train_q, base_dev, k=cfg.M_sq, metric="ip",
-                           query_batch=8192)
+                           query_batch=8192,
+                           approx=bool(os.environ.get("BENCH_GT_APPROX")))
         gt_s = time.time() - t0
         log(f"groundtruth: {gt_s:.1f}s for {N_TRAIN}x{N} k={cfg.M_sq}")
         t0 = time.time()

@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--K", type=int, default=100)
     p.add_argument("--tile", type=int, default=8192)
     p.add_argument("--query_batch", type=int, default=4096)
+    p.add_argument("--approx", action="store_true",
+                   help="TPU partial-reduce candidate selection per tile "
+                        "(~5x faster merge; near-tied tail candidates may "
+                        "differ). Fine for training-query NN lists; do not "
+                        "use for eval groundtruth.")
     args = p.parse_args(argv)
 
     metric = Metric.parse(args.dist)
@@ -37,7 +42,8 @@ def main(argv=None):
     print(f"base {base.shape}, queries {queries.shape}, K={args.K}")
     t0 = time.time()
     ids, dists = knn(queries, base, k=args.K, metric=metric,
-                     tile=args.tile, query_batch=args.query_batch)
+                     tile=args.tile, query_batch=args.query_batch,
+                     approx=args.approx)
     print(f"knn time: {time.time() - t0:.1f}s")
     if metric is Metric.IP:
         dists = -dists  # gt files store raw dot products

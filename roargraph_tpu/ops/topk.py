@@ -35,7 +35,7 @@ def _merge_topk(run_d, run_i, new_d, new_i, k):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "tile", "precision"))
+    jax.jit, static_argnames=("k", "metric", "tile", "precision", "approx"))
 def knn_tiled(
     queries: jnp.ndarray,  # [Q, D]
     base: jnp.ndarray,     # [N, D]  (N padded to a multiple of tile by caller ok)
@@ -44,12 +44,22 @@ def knn_tiled(
     metric: Metric,
     tile: int = 8192,
     precision=Precision.HIGHEST,
+    approx: bool = False,
 ):
     """Exact k-NN of ``queries`` against ``base``: returns
     (ids ``[Q, k]`` int32, scores ``[Q, k]`` f32, smaller=better).
 
     ``base`` rows beyond ``n_valid`` (i.e. padding) must be pre-masked by the
-    caller via :func:`knn` below."""
+    caller via :func:`knn` below.
+
+    ``approx=True`` selects each tile's candidates with the TPU-native
+    partial-reduce selection (``lax.approx_min_k``, recall_target 0.99 per
+    tile) instead of the full ``top_k`` merge — the merge is where the time
+    goes (the matmuls are a minority of the wall). Scores of returned
+    candidates stay exact; only *which* of the near-tied tail candidates
+    survive may differ. Use for training-query NN lists (build input, where
+    order noise is equivalent to the reference's thread-race
+    nondeterminism), never for eval groundtruth."""
     n = base.shape[0]
     num_tiles = (n + tile - 1) // tile
     padded_n = num_tiles * tile
@@ -71,6 +81,12 @@ def knn_tiled(
         scores = jnp.where(jnp.isfinite(scores), scores, jnp.inf)
         ids = tile_idx * tile + jax.lax.broadcasted_iota(
             jnp.int32, (q, tile), 1)
+        if approx:
+            # per-tile candidate pre-selection via PartialReduce, then an
+            # exact (k + k)-wide merge into the running top-k
+            cd, ci = jax.lax.approx_min_k(scores, k, recall_target=0.99)
+            ids = jnp.take_along_axis(ids, ci, axis=1)
+            return _merge_topk(run_d, run_i, cd, ids, k), None
         return _merge_topk(run_d, run_i, scores, ids, k), None
 
     (out_d, out_i), _ = jax.lax.scan(
@@ -88,21 +104,24 @@ def knn(
     tile: int = 8192,
     query_batch: int = 4096,
     precision=Precision.HIGHEST,
+    approx: bool = False,
 ):
     """Host-facing exact k-NN: loops query batches on the host (each batch is
-    one jitted TPU sweep over the full base). Returns numpy
+    one jitted TPU sweep over the full base, dispatched ahead so device work
+    overlaps the result fetches). Returns numpy
     (ids ``[Q, k]`` uint32, scores ``[Q, k]`` f32).
 
     This is the drop-in replacement for the DiskANN ``compute_groundtruth``
     pipeline step (``README.md:69-74``): write its output with
     :func:`roargraph_tpu.io.save_gt` to get a bit-compatible gt file.
-    """
+    ``approx`` — see :func:`knn_tiled`."""
     metric = Metric.parse(metric)
     queries = np.asarray(queries)
     base_dev = jnp.asarray(base)
     q = queries.shape[0]
     out_ids = np.empty((q, k), dtype=np.uint32)
     out_d = np.empty((q, k), dtype=np.float32)
+    pending = []
     for s in range(0, q, query_batch):
         e = min(s + query_batch, q)
         qb = queries[s:e]
@@ -111,10 +130,10 @@ def knn(
             pad = query_batch - (e - s)
             qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
         ids, d = knn_tiled(jnp.asarray(qb), base_dev, k=k, metric=metric,
-                           tile=tile, precision=precision)
-        ids, d = np.asarray(ids), np.asarray(d)
-        if pad:
-            ids, d = ids[: e - s], d[: e - s]
+                           tile=tile, precision=precision, approx=approx)
+        pending.append((s, e, ids, d))
+    for s, e, ids, d in pending:
+        ids, d = np.asarray(ids)[: e - s], np.asarray(d)[: e - s]
         out_ids[s:e] = ids.astype(np.uint32)
         out_d[s:e] = d
     return out_ids, out_d

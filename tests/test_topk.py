@@ -44,3 +44,21 @@ def test_knn_k_larger_than_tile(rng):
     oid, od = oracle.brute_knn(q, base, 40, "l2")
     assert (ids.astype(np.int64) == oid).mean() > 0.99
     np.testing.assert_allclose(d, od, rtol=1e-4, atol=1e-4)
+
+
+def test_knn_approx_mode(rng):
+    """approx=True pre-selects per-tile candidates with approx_min_k; on any
+    backend the returned scores must be genuine (match the oracle for the
+    ids returned) and overlap the exact top-k heavily."""
+    base = rng.standard_normal((2048, 16)).astype(np.float32)
+    q = rng.standard_normal((32, 16)).astype(np.float32)
+    ids, d = topk.knn(q, base, k=10, metric="ip", tile=256, approx=True)
+    oid, od = oracle.brute_knn(q, base, 10, "ip")
+    overlap = np.mean([len(set(ids[i].tolist()) & set(oid[i].tolist())) / 10
+                       for i in range(q.shape[0])])
+    assert overlap >= 0.9
+    # scores are exact for whatever ids were returned
+    exact = -(q @ base.T)
+    np.testing.assert_allclose(
+        d, np.take_along_axis(exact, ids.astype(np.int64), axis=1),
+        rtol=1e-4, atol=1e-5)
