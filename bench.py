@@ -82,12 +82,21 @@ def main():
         graph = rt.PaddedGraph.load_npz(cache)
         log(f"loaded cached index {cache}")
     else:
-        t0 = time.time()
-        train_ids, _ = knn(train_q, base_dev, k=cfg.M_sq, metric="ip",
-                           query_batch=8192,
-                           approx=bool(os.environ.get("BENCH_GT_APPROX")))
-        gt_s = time.time() - t0
-        log(f"groundtruth: {gt_s:.1f}s for {N_TRAIN}x{N} k={cfg.M_sq}")
+        gt_cache = os.path.join("build",
+                                f"bench_gt_{N}_{N_TRAIN}_{D}_{SEED}.npz")
+        if os.path.exists(gt_cache) and not os.environ.get("BENCH_FRESH"):
+            with np.load(gt_cache) as z:
+                train_ids = z["ids"]
+            log(f"loaded cached train gt {gt_cache}")
+        else:
+            t0 = time.time()
+            train_ids, _ = knn(train_q, base_dev, k=cfg.M_sq, metric="ip",
+                               query_batch=8192,
+                               approx=bool(os.environ.get("BENCH_GT_APPROX")))
+            gt_s = time.time() - t0
+            log(f"groundtruth: {gt_s:.1f}s for {N_TRAIN}x{N} k={cfg.M_sq}")
+            os.makedirs("build", exist_ok=True)
+            np.savez(gt_cache, ids=train_ids)
         t0 = time.time()
         graph, report = build_roargraph(base_dev, train_ids, cfg,
                                         verbose=True)

@@ -286,17 +286,27 @@ def _phase_a(base_dev, train_knn: np.ndarray, cfg: BuildConfig, N: int):
     M_sq = min(cfg.M_sq, train_knn.shape[1])
     knn = np.asarray(train_knn)[:, :M_sq].astype(np.int64)
     chunk = min(cfg.prune_batch, max(Nq, 1))
-    pad = (-Nq) % chunk
-    knn_dev = knn.astype(np.int32)
-    if pad:
-        knn_dev = np.concatenate(
-            [knn_dev, np.full((pad, M_sq), -1, np.int32)])
-    tgt_dev, pi, pd = _phase_a_core(
-        jnp.asarray(knn_dev), base_dev, metric=cfg.metric, M=cfg.M_pjbp,
-        M_sq=M_sq, chunk=chunk)
+    # Host-chunked dispatches (a bounded lax.map inside each) instead of one
+    # whole-Nq device program: same math, but progress is observable and a
+    # single giant dispatch can't wedge a long build at large Nq.
+    super_chunk = chunk * 16
+    pruned_i = np.empty((Nq, cfg.M_pjbp), np.int32)
+    pruned_d = np.empty((Nq, cfg.M_pjbp), np.float32)
+    for s in range(0, Nq, super_chunk):
+        e = min(s + super_chunk, Nq)
+        blk = knn[s:e].astype(np.int32)
+        pad = (-(e - s)) % chunk
+        if pad:
+            blk = np.concatenate(
+                [blk, np.full((pad, M_sq), -1, np.int32)])
+        _, pi, pd = _phase_a_core(
+            jnp.asarray(blk), base_dev, metric=cfg.metric, M=cfg.M_pjbp,
+            M_sq=M_sq, chunk=chunk)
+        pruned_i[s:e] = np.asarray(pi)[: e - s]
+        pruned_d[s:e] = np.asarray(pd)[: e - s]
+        if Nq > super_chunk:
+            print(f"phase A: {e}/{Nq}", flush=True)
     tgt = knn[:, 0]
-    pruned_i = np.asarray(pi)[:Nq]
-    pruned_d = np.asarray(pd)[:Nq]
 
     # scatter out-lists; duplicate targets: last query index wins
     adj_i = np.full((N, cfg.M_pjbp), PAD, np.int32)
