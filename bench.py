@@ -142,6 +142,8 @@ def main():
         tidx = tidx.astype(jnp2.bfloat16)
     tile_dev = upload(tidx)
     T_values = [4, 6, 8, 12, 16, 24, 32, 48]
+    if N >= 500_000:  # larger corpora need more scanned clusters for 0.95
+        T_values += [64, 96, 128, 192]
 
     def tile_fn(T):
         # sweep knob: clusters scanned per query (rides the L_pq column)

@@ -305,7 +305,8 @@ def _phase_a(base_dev, train_knn: np.ndarray, cfg: BuildConfig, N: int):
         pruned_i[s:e] = np.asarray(pi)[: e - s]
         pruned_d[s:e] = np.asarray(pd)[: e - s]
         if Nq > super_chunk:
-            print(f"phase A: {e}/{Nq}", flush=True)
+            import sys
+            print(f"phase A: {e}/{Nq}", flush=True, file=sys.stderr)
     tgt = knn[:, 0]
 
     # scatter out-lists; duplicate targets: last query index wins
@@ -477,6 +478,9 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
             metric=cfg.metric, M=M, W=W, prune_chunk=prune_chunk)
 
         batches_done += 1
+        if batches_done % 100 == 0 and N > 4 * B:
+            import sys
+            print(f"phase B: {e}/{N}", flush=True, file=sys.stderr)
         if ckpt and batches_done % checkpoint_every == 0:
             tmp = ckpt[:-4] + "_tmp.npz"
             np.savez(tmp[:-4], supply_i=np.asarray(supply_i_dev),
