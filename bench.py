@@ -158,6 +158,37 @@ def main():
                             verbose="stderr", raw=True)
     tile_qps = reval.qps_at_recall(tile_rows, TARGET)
 
+    # --- streaming throughput at the operating point -------------------
+    # The reference's protocol keeps 16 threads saturated for the whole
+    # query set; the one-pass number above instead pays one un-overlapped
+    # dispatch+fetch bubble. qps_stream is the steady-state analog: R
+    # back-to-back passes dispatched before any fetch (serving pipeline).
+    best_T = None
+    for r in tile_rows:
+        if r["recall"] >= TARGET and (best_T is None or r["qps"] > 0):
+            best_T = r["L_pq"]
+            break
+    tile_stream_qps = None
+    if best_T is not None:
+        from roargraph_tpu.tiles import _tile_search_packed
+        R = 4
+        tiles_a, gids_a, cents_a, adj_a, norms_a = tile_dev
+        qb = eval_q[:batch] if eval_q.shape[0] >= batch else eval_q
+
+        def one_pass():
+            return _tile_search_packed(
+                tiles_a, gids_a, cents_a, adj_a, qb, norms_a, k=K,
+                T=best_T, Lc=max(2 * best_T, 16), metric=rt.Metric.IP,
+                use_graph=True, scan_impl="grouped")
+
+        np.asarray(one_pass())  # warm
+        t0 = time.time()
+        outs = [one_pass() for _ in range(R)]
+        for o in outs:
+            np.asarray(o)
+        tile_stream_qps = R * qb.shape[0] / (time.time() - t0)
+        log(f"tile stream qps @T={best_T}: {tile_stream_qps:.0f}")
+
     # --- flat engine sweeps: reference-parity (medoid start) + seeded ---
     bucket = max(L_values)  # one compiled program serves the whole sweep
 
@@ -211,6 +242,8 @@ def main():
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs else None,
         "tile_qps": round(tile_qps, 1) if tile_qps else None,
+        "tile_stream_qps": (round(tile_stream_qps, 1)
+                            if tile_stream_qps else None),
         "tile_config": f"C{tidx.cluster_size}_{tile_dtype}",
         "tpu_medoid_qps": round(tpu_plain_qps, 1) if tpu_plain_qps else None,
         "tpu_seeded_qps": round(tpu_seeded_qps, 1) if tpu_seeded_qps else None,

@@ -398,10 +398,15 @@ def tile_search_batch(
     """
     K, Dp, C = tiles_t.shape
     B = queries.shape[0]
-    Wc = (K + 31) // 32
     Lc = min(Lc, K)
     if metric is Metric.L2 and norms is None:
         raise ValueError("L2 tile search needs precomputed norms (upload())")
+    # neighbor centroid-score lookup: a [B, Mc] element gather costs ~15 ns
+    # per element on TPU; the one-hot einsum form runs as dense vector math
+    # (~2x faster) but materializes [B, Mc, K] — only worth it while that
+    # buffer stays modest
+    Mc_w = adj.shape[1]
+    onehot_lookup = B * Mc_w * K * 4 <= (1 << 29)
 
     # frontier ordering: all-centroid scores, one [B, K] contraction
     s = pairwise_scores(queries, centroids, metric,
@@ -412,26 +417,28 @@ def tile_search_batch(
 
     rk_d = jnp.full((B, k), jnp.inf, jnp.float32)
     rk_i = jnp.full((B, k), BIG, jnp.int32)
-    visited = jnp.zeros((B, Wc), jnp.uint32)
+    # visited = the expanded-cluster list (one slot per hop): membership
+    # tests are a [B, Mc, T] vector compare instead of bitmask
+    # gather/scatter (2.4x faster at serving shapes, probe_hop_variants)
+    xlist = jnp.full((B, T), BIG, jnp.int32)
     cmps = jnp.zeros((B,), jnp.int32)
     hops = jnp.zeros((B,), jnp.int32)
     b_arange = jnp.arange(B)
     qf = queries.astype(jnp.float32)
     qp = jnp.pad(qf, ((0, 0), (0, Dp - qf.shape[1])))  # zero-padded to D_pad
 
-    def hop(_, state):
-        q_d, q_i, q_e, visited, rk_d, rk_i, cmps, hops = state
+    def hop(t, state):
+        q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops = state
         unexp = (q_e == 0) & (q_i != BIG)
         active = jnp.any(unexp, axis=1)
         jj = jnp.argmax(unexp, axis=1)
         f = jnp.where(active, q_i[b_arange, jj], 0)
         q_e = q_e.at[b_arange, jj].set(jnp.where(active, 1, q_e[b_arange, jj]))
 
-        # visited bit for the expanded cluster (K is small: dense ops)
-        w, bit = f // 32, jnp.uint32(1) << (f % 32).astype(jnp.uint32)
-        visited = visited.at[b_arange, w].set(
-            jnp.where(active, visited[b_arange, w] | bit,
-                      visited[b_arange, w]))
+        # record the expanded cluster in this hop's slot (BIG when inactive
+        # so cluster 0 is never falsely marked)
+        xlist = jax.lax.dynamic_update_slice_in_dim(
+            xlist, jnp.where(active, f, BIG)[:, None], t, axis=1)
 
         # ---- scan the cluster: one sequential block read + one matmul ----
         ids = gids[f]                                     # [B, C]
@@ -467,11 +474,16 @@ def tile_search_batch(
             nbr = adj[f]                                  # [B, Mc]
             n_ok = (nbr != PAD) & active[:, None]
             n_safe = jnp.clip(nbr, 0, K - 1)
-            seen = (visited[b_arange[:, None], n_safe // 32] >>
-                    (n_safe % 32).astype(jnp.uint32)) & 1
+            seen = jnp.any(n_safe[:, :, None] == xlist[:, None, :], axis=2)
             queued = jnp.any(q_i[:, :, None] == n_safe[:, None, :], axis=1)
-            n_ok = n_ok & (seen == 0) & ~queued
-            n_d = jnp.where(n_ok, s[b_arange[:, None], n_safe], jnp.inf)
+            n_ok = n_ok & ~seen & ~queued
+            if onehot_lookup:
+                oh = (n_safe[:, :, None] ==
+                      jnp.arange(K)[None, None, :]).astype(s.dtype)
+                n_s = jnp.einsum("bmk,bk->bm", oh, s)
+            else:
+                n_s = s[b_arange[:, None], n_safe]
+            n_d = jnp.where(n_ok, n_s, jnp.inf)
             n_i = jnp.where(n_ok, nbr, BIG)
             all_qd = jnp.concatenate([q_d, n_d], axis=1)
             all_qi = jnp.concatenate([q_i, n_i], axis=1)
@@ -482,9 +494,9 @@ def tile_search_batch(
 
         cmps = cmps + jnp.where(active, jnp.sum(live, axis=1), 0)
         hops = hops + active.astype(jnp.int32)
-        return q_d, q_i, q_e, visited, rk_d, rk_i, cmps, hops
+        return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops
 
-    state = (q_d, q_i, q_e, visited, rk_d, rk_i, cmps, hops)
+    state = (q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops)
     state = jax.lax.fori_loop(0, T, hop, state)
     _, _, _, _, rk_d, rk_i, cmps, hops = state
     out_i = jnp.where(rk_i == BIG, -1, rk_i)

@@ -24,7 +24,8 @@ from roargraph_tpu.utils import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-N_TRAIN, D, SEED = 50_000, 200, 0
+N_TRAIN = int(os.environ.get("PROBE_TRAIN", N // 2))
+D, SEED = 200, 0
 L = 500
 M = 35
 W = 2 * M
