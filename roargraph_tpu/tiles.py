@@ -406,7 +406,7 @@ def tile_search_batch(
     # (~2x faster) but materializes [B, Mc, K] — only worth it while that
     # buffer stays modest
     Mc_w = adj.shape[1]
-    onehot_lookup = B * Mc_w * K * 4 <= (1 << 29)
+    onehot_lookup = B * Mc_w * K * 4 <= (1 << 30)
 
     # frontier ordering: all-centroid scores, one [B, K] contraction
     s = pairwise_scores(queries, centroids, metric,
