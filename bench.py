@@ -50,6 +50,7 @@ def main():
     N_EVAL = int(os.environ.get("BENCH_EVAL", 8_192))
     D = int(os.environ.get("BENCH_D", 200))
     SEED = int(os.environ.get("BENCH_SEED", 0))
+    METRIC_STR = os.environ.get("BENCH_METRIC", "ip")  # ip | cosine | l2
     K = 10
     TARGET = 0.95
 
@@ -66,31 +67,39 @@ def main():
     platform = jax.devices()[0].platform
     log(f"platform: {platform}, devices: {jax.devices()}")
 
+    METRIC = rt.Metric.parse(METRIC_STR)
     base, train_q, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
     import jax.numpy as jnp
+    if METRIC.needs_normalize:
+        # cosine = normalize-then-IP, the reference's load-time convention
+        from roargraph_tpu.ops.distance import normalize
+        base = np.asarray(normalize(base))
+        train_q = np.asarray(normalize(train_q))
+        eval_q = np.asarray(normalize(eval_q))
     base_dev = jnp.asarray(base)  # single upload shared by gt/build/search
     eval_q = jnp.asarray(eval_q)  # ditto for the sweeps' query set
     cfg = rt.BuildConfig(
-        metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
+        metric=METRIC, M_sq=100, M_pjbp=35, L_pjpq=500,
         prune_batch=int(os.environ.get("BENCH_PRUNE_BATCH", 1024)),
         search_batch=int(os.environ.get("BENCH_SEARCH_BATCH", 1024)))
 
+    mtag = "" if METRIC_STR == "ip" else f"_{METRIC_STR}"
     cache = os.path.join("build",
-                         f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")
+                         f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}{mtag}.npz")
     gt_s = build_s = None
     if os.path.exists(cache) and not os.environ.get("BENCH_FRESH"):
         graph = rt.PaddedGraph.load_npz(cache)
         log(f"loaded cached index {cache}")
     else:
-        gt_cache = os.path.join("build",
-                                f"bench_gt_{N}_{N_TRAIN}_{D}_{SEED}.npz")
+        gt_cache = os.path.join(
+            "build", f"bench_gt_{N}_{N_TRAIN}_{D}_{SEED}{mtag}.npz")
         if os.path.exists(gt_cache) and not os.environ.get("BENCH_FRESH"):
             with np.load(gt_cache) as z:
                 train_ids = z["ids"]
             log(f"loaded cached train gt {gt_cache}")
         else:
             t0 = time.time()
-            train_ids, _ = knn(train_q, base_dev, k=cfg.M_sq, metric="ip",
+            train_ids, _ = knn(train_q, base_dev, k=cfg.M_sq, metric=METRIC,
                                query_batch=8192,
                                approx=bool(os.environ.get("BENCH_GT_APPROX")))
             gt_s = time.time() - t0
@@ -105,7 +114,7 @@ def main():
         os.makedirs("build", exist_ok=True)
         graph.save_npz(cache)
 
-    gt_ids, _ = knn(eval_q, base_dev, k=K, metric="ip")
+    gt_ids, _ = knn(eval_q, base_dev, k=K, metric=METRIC)
 
     # --- coarse quantizer for seeded starts (cached with the index) ---
     from roargraph_tpu.ops.seeds import SeedIndex, build_seeds
@@ -114,7 +123,7 @@ def main():
         sidx = SeedIndex.load_npz(seed_cache)
     else:
         sidx = build_seeds(base, n_centroids=max(256, N // 64), iters=4,
-                           metric="ip")
+                           metric=METRIC)
         sidx.save_npz(seed_cache)
     log(f"seed quantizer: {sidx.seed_ids.size} representatives")
 
@@ -134,7 +143,7 @@ def main():
     else:
         t0 = time.time()
         tidx = build_tiles(graph, base, cluster_size=tile_C, Mc=32,
-                           metric="ip", fill=tile_fill)
+                           metric=METRIC, fill=tile_fill)
         tile_build_s = time.time() - t0
         log(f"tile index: {tile_build_s:.1f}s K={tidx.num_clusters}")
         tidx.save_npz(tile_cache)
@@ -148,13 +157,13 @@ def main():
     def tile_fn(T):
         # sweep knob: clusters scanned per query (rides the L_pq column)
         return tile_search(tidx, eval_q, k=K, T=T,
-                           Lc=max(2 * T, 16), metric=rt.Metric.IP,
+                           Lc=max(2 * T, 16), metric=METRIC,
                            batch_size=batch, device_arrays=tile_dev)
 
     log(f"tile sweep ({tile_dtype}, C={tidx.cluster_size}, "
         f"K={tidx.num_clusters}; column 1 is T = clusters scanned):")
     tile_rows = reval.sweep(tile_fn, T_values, gt_ids, k=K,
-                            metric=rt.Metric.IP, n_queries=N_EVAL,
+                            metric=METRIC, n_queries=N_EVAL,
                             verbose="stderr", raw=True)
     tile_qps = reval.qps_at_recall(tile_rows, TARGET)
 
@@ -178,7 +187,7 @@ def main():
         def one_pass():
             return _tile_search_packed(
                 tiles_a, gids_a, cents_a, adj_a, qb, norms_a, k=K,
-                T=best_T, Lc=max(2 * best_T, 16), metric=rt.Metric.IP,
+                T=best_T, Lc=max(2 * best_T, 16), metric=METRIC,
                 use_graph=True, scan_impl="grouped")
 
         np.asarray(one_pass())  # warm
@@ -206,11 +215,11 @@ def main():
     # stronger seeded mode first so it gets the fast phase.
     log("TPU sweep (seeded start):")
     seeded_rows = reval.sweep(tpu_seeded_fn, L_values, gt_ids, k=K,
-                              metric=rt.Metric.IP, n_queries=N_EVAL,
+                              metric=METRIC, n_queries=N_EVAL,
                               verbose="stderr")
     log("TPU sweep (medoid start):")
     tpu_rows = reval.sweep(tpu_fn, L_values, gt_ids, k=K,
-                           metric=rt.Metric.IP, n_queries=N_EVAL,
+                           metric=METRIC, n_queries=N_EVAL,
                            verbose="stderr")
     tpu_plain_qps = reval.qps_at_recall(tpu_rows, TARGET)
     tpu_seeded_qps = reval.qps_at_recall(seeded_rows, TARGET)
@@ -230,14 +239,15 @@ def main():
                                         num_threads=threads)
 
         cpu_rows = reval.sweep(cpu_fn, L_values, gt_ids, k=K,
-                               metric=rt.Metric.IP, n_queries=N_EVAL,
+                               metric=METRIC, n_queries=N_EVAL,
                                warmup=False, verbose="stderr")
         cpu_qps = reval.qps_at_recall(cpu_rows, TARGET)
 
     value = tpu_qps if tpu_qps is not None else 0.0
     vs = (value / cpu_qps) if (cpu_qps and value) else None
     out = {
-        "metric": f"qps@recall{TARGET}_k{K}_synth-t2i-{N//1000}k-d{D}-ip",
+        "metric": (f"qps@recall{TARGET}_k{K}_synth-t2i-{N//1000}k-d{D}"
+                   f"-{METRIC_STR}"),
         "value": round(value, 1),
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs else None,
