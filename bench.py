@@ -136,7 +136,9 @@ def main():
     tile_C = int(os.environ.get("BENCH_TILE_C", 256))
     tile_fill = float(os.environ.get("BENCH_TILE_FILL", 0.7))
     tile_dtype = os.environ.get("BENCH_TILE_DTYPE", "bfloat16")
-    tile_cache = cache.replace(".npz", f"_tiles{tile_C}.npz")
+    tile_tag = (f"_tiles{tile_C}" if tile_fill == 0.7
+                else f"_tiles{tile_C}_f{tile_fill}")
+    tile_cache = cache.replace(".npz", f"{tile_tag}.npz")
     tile_build_s = None
     if os.path.exists(tile_cache) and not os.environ.get("BENCH_FRESH"):
         tidx = TileIndex.load_npz(tile_cache)
@@ -173,10 +175,10 @@ def main():
     # dispatch+fetch bubble. qps_stream is the steady-state analog: R
     # back-to-back passes dispatched before any fetch (serving pipeline).
     best_T = None
-    for r in tile_rows:
-        if r["recall"] >= TARGET and (best_T is None or r["qps"] > 0):
-            best_T = r["L_pq"]
-            break
+    if tile_qps is not None:
+        # the same row qps_at_recall picked for the headline tile_qps
+        best_T = next(r["L_pq"] for r in tile_rows
+                      if r["recall"] >= TARGET and r["qps"] == tile_qps)
     tile_stream_qps = None
     if best_T is not None:
         from roargraph_tpu.tiles import _tile_search_packed

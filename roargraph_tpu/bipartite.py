@@ -110,6 +110,17 @@ def build_bipartite(n_base: int, train_knn: np.ndarray, M_pjbp: int,
     if base_width is None:
         base_width = int(max(counts.max(), 1))
         dropped = 0
+        # The dense padded layout costs n_base * base_width int32; a single
+        # hot head (one base point that is the head NN of a large slice of
+        # the training set) can blow this up quadratically. Refuse clearly
+        # instead of OOM-ing: the caller picks an explicit cap (dropped
+        # edges are counted, never silent).
+        if n_base * base_width > (1 << 31):
+            raise ValueError(
+                f"unbounded bipartite base rows need n_base x max-in-degree "
+                f"= {n_base} x {base_width} int32 (> 8 GB); pass an "
+                f"explicit base_width cap (e.g. a high quantile of the "
+                f"in-degree distribution)")
     else:
         dropped = int(np.maximum(counts - base_width, 0).sum())
         if dropped and verbose:

@@ -130,7 +130,7 @@ def sharded_phase_a_step(mesh: Mesh, *, metric: Metric, M: int, M_sq: int,
     return jax.jit(fn)
 
 
-def build_sharded(base, train_knn_fn=None, cfg: BuildConfig = None,
+def build_sharded(base, train_knn_fn, cfg: BuildConfig,
                   n_shards: int = 1, *, verbose: bool = False,
                   seed_centroids: int = 0, train_queries=None,
                   mesh: Mesh | None = None,
@@ -152,6 +152,8 @@ def build_sharded(base, train_knn_fn=None, cfg: BuildConfig = None,
     from ..build import build_roargraph
     from ..graph import PAD as _PAD
 
+    if cfg is None:
+        raise ValueError("build_sharded requires a BuildConfig")
     base = np.asarray(base)
     N, D = base.shape
     n_s = (N + n_shards - 1) // n_shards
@@ -171,9 +173,9 @@ def build_sharded(base, train_knn_fn=None, cfg: BuildConfig = None,
         step = sharded_phase_a_step(
             mesh, metric=cfg.metric, M=cfg.M_pjbp, M_sq=cfg.M_sq,
             chunk=chunk, knn_k=cfg.M_sq, knn_tile=knn_tile)
-        knn_ids, tgt, pi, pd = step(jnp.asarray(train_q),
-                                    jnp.asarray(stacked))
-        knn_ids = np.asarray(knn_ids)
+        _, tgt, pi, pd = step(jnp.asarray(train_q), jnp.asarray(stacked))
+        # (the per-shard local kNN lists stay on device — only the pruned
+        # phase-A rows are needed on the host)
         tgt, pi, pd = np.asarray(tgt), np.asarray(pi), np.asarray(pd)
         for s in range(n_shards):
             size = min(n_s, N - s * n_s)

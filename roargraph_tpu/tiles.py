@@ -325,9 +325,8 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
                 slot += 1
 
     ep = int(assign[graph.ep])
-    return TileIndex(tiles=tiles, gids=gids, centroids=centroids.astype(
-        base.dtype if base.dtype == np.float32 else np.float32), adj=adj,
-        ep=ep)
+    return TileIndex(tiles=tiles, gids=gids, centroids=centroids, adj=adj,
+                     ep=ep)
 
 
 # ---------------------------------------------------------------------------
@@ -528,8 +527,11 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
     (ids [Q, k], dists [Q, k], cmps [Q], hops [Q]).
 
     ``device_arrays`` — optional pre-uploaded :func:`upload` tuple to share
-    one upload across sweep points. ``scan_impl``: "auto" uses the fused
-    Pallas scan on TPU, the XLA gather+dot elsewhere."""
+    one upload across sweep points. ``scan_impl``: "auto" selects the
+    cluster-grouped batched contraction — the fastest measured per-hop scan
+    (DESIGN.md cost table); "pallas" (the double-buffered DMA kernel,
+    C % 128 == 0 required) and "xla" (plain gather+dot) stay selectable for
+    A/B runs."""
     metric = Metric.parse(metric)
     if device_arrays is None:
         device_arrays = upload(index)
@@ -540,7 +542,7 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
     # re-uploading the query set per sweep point costs more than a hop)
     queries = jnp.asarray(queries)
     Q = queries.shape[0]
-    Lc = Lc or max(T, 2 * T)
+    Lc = Lc or 2 * T
     Bsz = min(batch_size, Q) if Q else batch_size
     ids = np.empty((Q, k), np.int32)
     dists = np.empty((Q, k), np.float32)

@@ -36,7 +36,8 @@ BATCH = int(os.environ.get("PROBE_BATCH", 8192))
 T = int(os.environ.get("PROBE_T", 12))
 SCAN = os.environ.get("PROBE_SCAN", "grouped")
 REPS = int(os.environ.get("PROBE_REPS", 10))
-N_TRAIN, N_EVAL, D, SEED, K = 50_000, 8_192, 200, 0, 10
+N_TRAIN = N // 2 if N >= 10**6 else 50_000  # matches the bench cache names
+N_EVAL, D, SEED, K = 8_192, 200, 0, 10
 
 base, _, eval_q = benchmod.make_data(N, N_TRAIN, N_EVAL, D, SEED)
 cache = os.path.join("build", f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")

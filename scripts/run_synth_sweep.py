@@ -75,7 +75,8 @@ def main():
         "SWEEP_BUCKETS", "100,512,1024,2048").split(",")]
 
     def fn(c):
-        bucket = next(b for b in buckets if c.L_pq <= b)
+        # points above the largest bucket compile their own exact width
+        bucket = next((b for b in buckets if c.L_pq <= b), c.L_pq)
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
                              batch_size=batch, L_bucket=bucket)
         return search(graph, base_dev, eval_q, c2)

@@ -87,3 +87,13 @@ def test_search_deterministic_given_seed(bip):
     a = search_bipartite(index, base, eval_q, cfg, seed=7)[0]
     b = search_bipartite(index, base, eval_q, cfg, seed=7)[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_unbounded_width_refuses_oom_allocation():
+    # one hot head over a huge base: the dense padded layout would need
+    # n_base x max-in-degree int32 -- refuse with guidance, don't OOM
+    import pytest as _pytest
+    n_base = 300_000_000
+    knn = np.tile(np.array([[5, 1, 2]], np.int64), (50, 1))
+    with _pytest.raises(ValueError, match="base_width"):
+        build_bipartite(n_base, knn, 3)
