@@ -107,8 +107,11 @@ def main():
             os.makedirs("build", exist_ok=True)
             np.savez(gt_cache, ids=train_ids)
         t0 = time.time()
+        # resumable at large N: an interrupted run (or round end) keeps its
+        # phase-A result + periodic phase-B state under build/ckpt_*
+        ckpt = cache.replace(".npz", "_ckpt")
         graph, report = build_roargraph(base_dev, train_ids, cfg,
-                                        verbose=True)
+                                        verbose=True, checkpoint_dir=ckpt)
         build_s = time.time() - t0
         log(f"build: {build_s:.1f}s  stats={report.stats}")
         os.makedirs("build", exist_ok=True)
