@@ -106,9 +106,13 @@ def build_bipartite(n_base: int, train_knn: np.ndarray, M_pjbp: int,
     rows = np.broadcast_to(np.arange(nsq)[:, None], cand.shape)[keep]
     query_adj[rows, rank[keep]] = cand[keep].astype(np.int32)
 
-    counts = np.bincount(heads, minlength=n_base)
+    # In-degree stats via unique (O(nsq) memory) so the OOM guard below runs
+    # BEFORE any n_base-proportional allocation — a dense bincount at
+    # n_base=300M would itself be a 2.4 GB transient.
+    _, ucounts = np.unique(heads, return_counts=True)
+    max_indeg = int(ucounts.max()) if ucounts.size else 0
     if base_width is None:
-        base_width = int(max(counts.max(), 1))
+        base_width = max(max_indeg, 1)
         dropped = 0
         # The dense padded layout costs n_base * base_width int32; a single
         # hot head (one base point that is the head NN of a large slice of
@@ -122,12 +126,12 @@ def build_bipartite(n_base: int, train_knn: np.ndarray, M_pjbp: int,
                 f"explicit base_width cap (e.g. a high quantile of the "
                 f"in-degree distribution)")
     else:
-        dropped = int(np.maximum(counts - base_width, 0).sum())
+        dropped = int(np.maximum(ucounts - base_width, 0).sum())
         if dropped and verbose:
             import sys
             print(f"build_bipartite: base_width={base_width} drops "
                   f"{dropped} reverse edges (max in-degree "
-                  f"{int(counts.max())})", file=sys.stderr)
+                  f"{max_indeg})", file=sys.stderr)
     base_adj = np.full((n_base, base_width), PAD, np.int32)
     order = np.argsort(heads, kind="stable")  # deterministic query-id order
     h = heads[order]

@@ -100,7 +100,7 @@ def main(argv=None):
                     metric=metric, n_queries=queries.shape[0],
                     gt_dists=np.asarray(gt_dists),
                     csv_path=args.evaluation_save_path or None,
-                    verbose=True, raw=True)
+                    verbose=True, raw=True, knob="T")
         return
 
     if args.engine == "cpu":

@@ -59,6 +59,7 @@ def sweep(
     csv_path: str | None = None,
     verbose: bool = True,
     raw: bool = False,
+    knob: str = "L_pq",
 ) -> list:
     """Run the L_pq sweep. ``search_fn(cfg)`` must return
     (ids, dists, cmps, hops) for the full query set.
@@ -67,11 +68,16 @@ def sweep(
     (engines whose knob is not an L_pq — e.g. the tile engine's T, which may
     legitimately be smaller than k — build their own config).
 
+    ``knob`` names the sweep column. When it is not the reference's ``L_pq``
+    the CSV gets a leading ``#``-comment tag row so a tile-engine sweep (T =
+    clusters scanned) can never be silently misread as an L_pq sweep by a
+    consumer comparing reference-format CSVs.
+
     Returns a list of row dicts; optionally writes the reference's CSV."""
     rows = []
     out = sys.stderr if verbose == "stderr" else sys.stdout
     if verbose:
-        print("L_pq\tQPS\tavg_visited\tmean_latency\trecall@%d\tavg_hops" % k,
+        print(f"{knob}\tQPS\tavg_visited\tmean_latency\trecall@{k}\tavg_hops",
               file=out)
     for L in L_values:
         cfg = int(L) if raw else SearchConfig(k=k, L_pq=int(L), metric=metric)
@@ -114,6 +120,9 @@ def sweep(
             # keeps its completed rows
             mode = "w" if len(rows) == 1 else "a"
             with open(csv_path, mode, newline="") as f:
+                if mode == "w" and knob != "L_pq":
+                    f.write(f"# knob={knob} (not L_pq): first column is "
+                            f"{knob}\n")
                 w = csv.writer(f)
                 cols = [row["L_pq"], row["qps"], row["avg_cmps"],
                         row["mean_latency_ms"], row["recall"]]

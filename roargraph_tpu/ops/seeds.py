@@ -64,21 +64,25 @@ def _kmeans(base, key, *, n_centroids, iters):
     vs = valid.reshape(G, chunk)
 
     def step(centroids, _):
-        def one(args):
+        # Accumulate sums/counts in a scan carry (not lax.map, whose stacked
+        # outputs would materialize [G, C, D] before the reduce — ~45 GB at
+        # the 2.5M/C=39k scale this chunking exists for). Peak memory stays
+        # O(chunk * C + C * D).
+        def one(carry, args):
+            sums, counts = carry
             xc, vc = args
             d = pairwise_scores(xc, centroids, Metric.L2,
                                 precision=jax.lax.Precision.DEFAULT)
             a = jnp.argmin(d, axis=1)
             a = jnp.where(vc, a, n_centroids)  # pad rows scatter-drop
-            sums = jnp.zeros((n_centroids, d_dim), base.dtype).at[a].add(
-                xc, mode="drop")
-            counts = jnp.zeros((n_centroids,), base.dtype).at[a].add(
-                1.0, mode="drop")
-            return sums, counts
+            sums = sums.at[a].add(xc, mode="drop")
+            counts = counts.at[a].add(1.0, mode="drop")
+            return (sums, counts), None
 
-        sums, counts = jax.lax.map(one, (bs, vs))
-        sums = sums.sum(axis=0)
-        counts = counts.sum(axis=0)[:, None]
+        init = (jnp.zeros((n_centroids, d_dim), base.dtype),
+                jnp.zeros((n_centroids,), base.dtype))
+        (sums, counts), _ = jax.lax.scan(one, init, (bs, vs))
+        counts = counts[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
         return new, None
 

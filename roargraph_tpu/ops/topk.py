@@ -122,18 +122,30 @@ def knn(
     out_ids = np.empty((q, k), dtype=np.uint32)
     out_d = np.empty((q, k), dtype=np.float32)
     pending = []
+
+    def _drain(item):
+        s, e, ids, d = item
+        ids, d = np.asarray(ids)[: e - s], np.asarray(d)[: e - s]
+        out_ids[s:e] = ids.astype(np.uint32)
+        out_d[s:e] = d
+
+    # Bounded pipeline depth: dispatch ahead so device work overlaps result
+    # fetches, but drain the oldest pending batch past a small window so the
+    # resident footprint stays O(window * batch) instead of O(q) — at the
+    # 2.5M-train GT call an unbounded pipeline kept ~4 GB of inputs+outputs
+    # live on device simultaneously.
+    window = 4
     for s in range(0, q, query_batch):
         e = min(s + query_batch, q)
         qb = queries[s:e]
-        pad = 0
         if e - s < query_batch and q > query_batch:
             pad = query_batch - (e - s)
             qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
         ids, d = knn_tiled(jnp.asarray(qb), base_dev, k=k, metric=metric,
                            tile=tile, precision=precision, approx=approx)
         pending.append((s, e, ids, d))
-    for s, e, ids, d in pending:
-        ids, d = np.asarray(ids)[: e - s], np.asarray(d)[: e - s]
-        out_ids[s:e] = ids.astype(np.uint32)
-        out_d[s:e] = d
+        if len(pending) > window:
+            _drain(pending.pop(0))
+    for item in pending:
+        _drain(item)
     return out_ids, out_d

@@ -81,6 +81,10 @@ def test_cli_search_engines(pipeline, engine):
                  "--tile_dtype", "float32"]
     cli_search.main(argv)
     rows = list(csv.reader(open(csv_path)))
+    if engine == "tile":
+        # non-L_pq sweeps carry a disambiguating comment tag row
+        assert rows[0][0].startswith("# knob=T")
+        rows = rows[1:]
     assert len(rows) == 2
     # columns: L, qps, cmps, latency, recall, rderr, hops
     assert len(rows[0]) == 7
