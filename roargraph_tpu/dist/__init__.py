@@ -1,3 +1,3 @@
 from .sharded import (ShardedRoarGraph, build_sharded, make_mesh,  # noqa
-                      make_mesh2, sharded_knn, sharded_search,
-                      sharded_search_2level)
+                      make_mesh2, sharded_knn, sharded_phase_b_program,
+                      sharded_search, sharded_search_2level)

@@ -130,10 +130,66 @@ def sharded_phase_a_step(mesh: Mesh, *, metric: Metric, M: int, M_sq: int,
     return jax.jit(fn)
 
 
+def sharded_phase_b_program(mesh: Mesh, *, metric: Metric, M: int, L: int,
+                            B: int, steps: int, expand_width: int = 1,
+                            gather_chunk: int = 32):
+    """One SPMD mesh program advancing EVERY shard's phase B by ``steps``
+    incremental batches of ``B`` nodes (``build._phase_b_search_prune``'s
+    loop body, run per-shard in lockstep under ``shard_map``).
+
+    Phase B dominates build wall-clock (98% at 1M — BASELINE.md) and each
+    shard's supply graph is independent, so this is the scale-out lever the
+    reference reaches with 64 OpenMP threads
+    (``src/index_bipartite.cpp:1192-1269``): S chips run S shards' phase B
+    concurrently; zero collectives — the only cross-device coupling is the
+    lockstep trip count (shards are padded to equal size).
+
+    Returned fn: (supply_i [S,N_s,W], supply_d, deg [S,N_s], proj_i
+    [S,N_s,M], base [S,N_s,D], eps [S], sizes [S], start) -> updated
+    (supply_i, supply_d, deg); ``start`` is the first batch index (traced,
+    so one compile serves the whole host-side checkpoint loop).
+    """
+    from ..build import _phase_b_step
+    step_fn = getattr(_phase_b_step, "__wrapped__", _phase_b_step)
+    W = 2 * M
+    max_hops = 16 * L + 64
+
+    def local(supply_i, supply_d, deg, proj_i, base, eps, sizes, start):
+        si, sd, dg = supply_i[0], supply_d[0], deg[0]
+        pi_dev, bs, ep, size = proj_i[0], base[0], eps[0], sizes[0]
+        N_s = si.shape[0]
+
+        def body(t, carry):
+            si, sd, dg = carry
+            nodes = t * B + jnp.arange(B, dtype=jnp.int32)
+            nodes_ok = nodes < size
+            safe = jnp.clip(nodes, 0, N_s - 1)
+            res = beam_search_batch(
+                si, bs, bs[safe], ep, k=1, L=L, metric=metric,
+                max_hops=max_hops, capture=L, exclude_self=True,
+                self_ids=nodes, expand_width=expand_width,
+                gather_chunk=gather_chunk)
+            return step_fn(si, sd, dg, res.ret_ids, res.ret_dists,
+                           nodes, nodes_ok, pi_dev, bs,
+                           metric=metric, M=M, W=W, prune_chunk=0)
+
+        si, sd, dg = jax.lax.fori_loop(start, start + steps, body,
+                                       (si, sd, dg))
+        return si[None], sd[None], dg[None]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("shard"),) * 7 + (P(),),
+        out_specs=(P("shard"),) * 3,
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def build_sharded(base, train_knn_fn, cfg: BuildConfig,
                   n_shards: int = 1, *, verbose: bool = False,
                   seed_centroids: int = 0, train_queries=None,
-                  mesh: Mesh | None = None,
+                  mesh: Mesh | None = None, spmd_phase_b: bool = False,
+                  phase_b_steps_per_call: int = 0,
                   knn_tile: int = 2048) -> ShardedRoarGraph:
     """Partition the base set and build one RoarGraph per shard.
 
@@ -187,10 +243,20 @@ def build_sharded(base, train_knn_fn, cfg: BuildConfig,
             adj_d[t] = pd[s, :Nq]
             phase_a_per_shard[s] = (adj_i, adj_d)
 
+    spmd_graphs = None
+    if spmd_phase_b:
+        if mesh is None or not phase_a_per_shard:
+            raise ValueError("spmd_phase_b requires mesh + train_queries")
+        spmd_graphs = _spmd_phase_b_finish(
+            base, phase_a_per_shard, cfg, mesh, n_shards, n_s,
+            steps_per_call=phase_b_steps_per_call, verbose=verbose)
+
     for s in range(n_shards):
         lo, hi = s * n_s, min((s + 1) * n_s, N)
         shard = base[lo:hi]
-        if s in phase_a_per_shard:
+        if spmd_graphs is not None:
+            g = spmd_graphs[s]
+        elif s in phase_a_per_shard:
             g, _ = build_roargraph(shard, None, cfg, verbose=verbose,
                                    phase_a=phase_a_per_shard[s])
         else:
@@ -228,6 +294,86 @@ def build_sharded(base, train_knn_fn, cfg: BuildConfig,
                             offsets=np.array(offs, np.int32),
                             shard_sizes=np.array(sizes, np.int32),
                             seed_ids=seed_ids, seed_vecs=seed_vecs)
+
+
+def _spmd_phase_b_finish(base, phase_a_per_shard, cfg: BuildConfig,
+                         mesh: Mesh, n_shards: int, n_s: int, *,
+                         steps_per_call: int = 0, verbose: bool = False):
+    """Complete every shard's build with phase B running for ALL shards at
+    once (:func:`sharded_phase_b_program`). Bit-identical to the sequential
+    ``build_roargraph`` per-shard path: reverse rounds, incremental phase B,
+    final degree check, and supply merge all follow ``build.py`` exactly —
+    only the phase-B batch loop moves from a host loop over shards into one
+    SPMD mesh program."""
+    from ..build import (_merge_supply, _prune_rows_device, _reverse_round,
+                         compute_medoid)
+    from ..graph import PaddedGraph
+
+    N, D = base.shape
+    M, L, B = cfg.M_pjbp, cfg.L_pjpq, cfg.search_batch
+    W = 2 * M
+    n_batches = (n_s + B - 1) // B
+    steps = steps_per_call or n_batches
+
+    sup_i = np.full((n_shards, n_s, W), PAD, np.int32)
+    sup_d = np.full((n_shards, n_s, W), np.inf, np.float32)
+    proj = np.full((n_shards, n_s, M), PAD, np.int32)
+    stacked = np.zeros((n_shards, n_s, D), base.dtype)
+    eps = np.zeros(n_shards, np.int32)
+    sizes = np.zeros(n_shards, np.int32)
+    for s in range(n_shards):
+        lo, hi = s * n_s, min((s + 1) * n_s, N)
+        shard = base[lo:hi]
+        shard_dev = jnp.asarray(shard)
+        adj_i, adj_d = phase_a_per_shard[s]
+        for _ in range(2):
+            adj_i, adj_d = _reverse_round(
+                adj_i, adj_d, shard_dev, metric=cfg.metric, cap=M,
+                prune_M=M, prune_backfill=True, out_width=M,
+                batch=cfg.prune_batch)
+        phase_a_per_shard[s] = (adj_i, adj_d)
+        sup_i[s, : hi - lo, :M] = adj_i
+        sup_d[s, : hi - lo, :M] = adj_d
+        proj[s, : hi - lo] = adj_i
+        stacked[s, : hi - lo] = shard
+        eps[s] = compute_medoid(shard_dev)
+        sizes[s] = hi - lo
+
+    program = sharded_phase_b_program(
+        mesh, metric=cfg.metric, M=M, L=L, B=B, steps=steps,
+        expand_width=cfg.search_expand)
+    deg = (sup_i != PAD).sum(axis=2).astype(np.int32)
+    si, sd, dg = (jnp.asarray(sup_i), jnp.asarray(sup_d), jnp.asarray(deg))
+    pj, bs = jnp.asarray(proj), jnp.asarray(stacked)
+    ej, sz = jnp.asarray(eps), jnp.asarray(sizes)
+    for start in range(0, n_batches, steps):
+        si, sd, dg = program(si, sd, dg, pj, bs, ej, sz, jnp.int32(start))
+        if verbose and n_batches > steps:
+            print(f"spmd phase B: {min(start + steps, n_batches)}"
+                  f"/{n_batches} batches")
+    sup_i, sup_d = np.array(si), np.array(sd)
+
+    graphs = []
+    for s in range(n_shards):
+        size = int(sizes[s])
+        shard_dev = jnp.asarray(stacked[s, :size])
+        supply_i, supply_d = sup_i[s, :size], sup_d[s, :size]
+        adj_i, _ = phase_a_per_shard[s]
+        # final degree check + merge (``build.build_roargraph``)
+        over = np.flatnonzero((supply_i != PAD).sum(axis=1) > M)
+        if over.size:
+            pi, pd = _prune_rows_device(
+                supply_i[over], supply_d[over], supply_i[over] != PAD,
+                over.astype(np.int32), shard_dev,
+                metric=cfg.metric, M=M, backfill=False,
+                batch=cfg.prune_batch)
+            supply_i[over] = PAD
+            supply_d[over] = np.inf
+            supply_i[over, :M] = pi
+            supply_d[over, :M] = pd
+        merged = _merge_supply(adj_i, supply_i, M)
+        graphs.append(PaddedGraph(ids=merged, ep=int(eps[s])))
+    return graphs
 
 
 # ---------------------------------------------------------------------------

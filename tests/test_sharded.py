@@ -86,6 +86,39 @@ def test_spmd_build_matches_sequential(rng):
     np.testing.assert_allclose(seq.base, spmd.base)
 
 
+def test_spmd_phase_b_matches_sequential(rng):
+    """Full SPMD build — phase A AND phase B under shard_map — must be
+    bit-identical to the sequential per-shard host loop, including with a
+    ragged final shard (N % S != 0: last shard short, so the lockstep
+    phase-B trip count includes fully masked batches) and a multi-call
+    checkpoint-style host loop (phase_b_steps_per_call)."""
+    base, train_q = make_crossmodal(rng, n_base=610, n_query=320, dim=16)
+    cfg = rt.BuildConfig(metric="ip", M_sq=16, M_pjbp=5, L_pjpq=24,
+                         prune_batch=64, search_batch=64)
+    mesh = make_mesh(4, 1)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip", tile=2048)[0]
+
+    seq = build_sharded(base, knn_fn, cfg, n_shards=4)
+    spmd = build_sharded(base, None, cfg, n_shards=4,
+                         train_queries=train_q, mesh=mesh,
+                         spmd_phase_b=True, phase_b_steps_per_call=2)
+    np.testing.assert_array_equal(seq.adj, spmd.adj)
+    np.testing.assert_array_equal(seq.eps, spmd.eps)
+    np.testing.assert_array_equal(seq.shard_sizes, spmd.shard_sizes)
+    assert spmd.shard_sizes[-1] < spmd.shard_sizes[0]  # ragged case exercised
+
+    # the SPMD-built ragged index must serve end-to-end
+    eval_q = make_crossmodal(rng, n_base=1, n_query=32, dim=16)[1]
+    ids, dists = sharded_search(
+        spmd, eval_q, rt.SearchConfig(k=10, L_pq=30, metric="ip"),
+        mesh=make_mesh(4, 2))
+    gt_ids, _ = knn(eval_q, base, k=10, metric="ip")
+    assert (ids >= 0).all() and (ids < 610).all()
+    assert reval.recall_at_k(ids, gt_ids, 10) > 0.8
+
+
 def test_two_level_merge_matches_flat(rng):
     """DCN multi-slice schedule (DESIGN.md): the two-level merge (ICI
     all_gather over 'shard', then ONE k-sized all_gather over 'slice') must
