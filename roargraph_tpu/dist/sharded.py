@@ -558,6 +558,172 @@ def sharded_search_2level(index: ShardedRoarGraph, queries,
 
 
 # ---------------------------------------------------------------------------
+# Sharded tile engine (the serving answer at scale — SPMD over shards)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ShardedTileIndex:
+    """S per-shard :class:`~roargraph_tpu.tiles.TileIndex` stacks.
+
+    Stacked layout with a leading shard axis; shards are padded to the max
+    per-shard cluster count (``n_clusters[s]`` live clusters each):
+      tiles_t   [S, K, D_pad, C] transposed scan layout (upload() form)
+      gids      [S, K, C] int32 shard-LOCAL ids (PAD-filled)
+      centroids [S, K, D]
+      adj       [S, K, Mc] int32
+      norms     [S, K, C] f32 |v|^2 (L2 score term)
+      offsets   [S] global id of each shard's first row
+      n_clusters [S] live clusters per shard
+    """
+    tiles_t: np.ndarray
+    gids: np.ndarray
+    centroids: np.ndarray
+    adj: np.ndarray
+    norms: np.ndarray
+    offsets: np.ndarray
+    n_clusters: np.ndarray
+
+    @property
+    def num_shards(self) -> int:
+        return self.tiles_t.shape[0]
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path, tiles_t=self.tiles_t, gids=self.gids,
+            centroids=self.centroids, adj=self.adj, norms=self.norms,
+            offsets=self.offsets, n_clusters=self.n_clusters)
+
+    @staticmethod
+    def load_npz(path: str) -> "ShardedTileIndex":
+        with np.load(path) as z:
+            return ShardedTileIndex(
+                z["tiles_t"], z["gids"], z["centroids"], z["adj"],
+                z["norms"], z["offsets"], z["n_clusters"])
+
+
+def build_sharded_tiles(index: ShardedRoarGraph, *, cluster_size: int = 256,
+                        Mc: int = 32, metric: Metric | str = Metric.IP,
+                        fill: float = 0.75, tile_dtype=None,
+                        verbose: bool = False) -> ShardedTileIndex:
+    """Build one tile index per shard of a :class:`ShardedRoarGraph`.
+
+    Each shard's clustering/adjacency is the single-device
+    :func:`~roargraph_tpu.tiles.build_tiles` over that shard's sub-graph —
+    the sharded tile search then scans each shard's clusters on its own
+    device and merges global top-k over ICI, giving the tile engine (the
+    measured serving winner at 1M+, BASELINE.md) the same scale-out path as
+    the flat engine."""
+    from ..tiles import TileIndex, build_tiles, _pad_d, _to_scan_layout
+
+    metric = Metric.parse(metric)
+    S = index.num_shards
+    per_shard: list[TileIndex] = []
+    for s in range(S):
+        size = int(index.shard_sizes[s])
+        shard_base = index.base[s, :size]
+        adj = index.adj[s, :size]
+        from ..graph import PaddedGraph
+        g = PaddedGraph(ids=np.asarray(adj), ep=int(index.eps[s]))
+        ti = build_tiles(g, shard_base, cluster_size=cluster_size, Mc=Mc,
+                         metric=metric, fill=fill)
+        if tile_dtype is not None:
+            ti = ti.astype(tile_dtype)
+        per_shard.append(ti)
+        if verbose:
+            print(f"shard {s}: {ti.num_clusters} clusters of "
+                  f"{ti.cluster_size}")
+
+    K = max(t.num_clusters for t in per_shard)
+    C = cluster_size
+    D = index.base.shape[2]
+    Dp = _pad_d(D)
+    dt = per_shard[0].tiles.dtype
+    tiles_t = np.zeros((S, K, Dp, C), dt)
+    gids = np.full((S, K, C), PAD, np.int32)
+    cents = np.zeros((S, K, D), np.float32)
+    adj = np.full((S, K, Mc), PAD, np.int32)
+    norms = np.zeros((S, K, C), np.float32)
+    for s, ti in enumerate(per_shard):
+        kk = ti.num_clusters
+        tt, nn = _to_scan_layout(jnp.asarray(ti.tiles), Dp=Dp)
+        tiles_t[s, :kk] = np.asarray(tt)
+        norms[s, :kk] = np.asarray(nn)
+        gids[s, :kk] = ti.gids
+        cents[s, :kk] = ti.centroids
+        adj[s, :kk, : ti.adj.shape[1]] = ti.adj
+    return ShardedTileIndex(
+        tiles_t=tiles_t, gids=gids, centroids=cents, adj=adj, norms=norms,
+        offsets=np.asarray(index.offsets, np.int32),
+        n_clusters=np.array([t.num_clusters for t in per_shard], np.int32))
+
+
+def sharded_tile_search_step(mesh: Mesh, *, k: int, T: int, Lc: int,
+                             metric: Metric, scan_impl: str = "grouped"):
+    """SPMD tile search: per-shard tile walk (local clusters only, masked by
+    ``n_clusters``), then ONE ``all_gather`` of the [B, k] per-shard results
+    over the shard axis + a two-key sort — the identical merge schedule as
+    :func:`sharded_search_step`, applied to the serving engine."""
+    from ..tiles import tile_search_batch
+
+    def local(tiles_t, gids, cents, adj, norms, offsets, ncl, queries):
+        ids, d, cmps, hops = tile_search_batch(
+            tiles_t[0], gids[0], cents[0], adj[0], queries, norms[0],
+            k=k, T=T, Lc=Lc, metric=metric, scan_impl=scan_impl,
+            valid_clusters=ncl[0])
+        gid = jnp.where(ids >= 0, ids + offsets[0], jnp.int32(BIG))
+        gd = jnp.where(ids >= 0, d, jnp.inf)
+        all_i = jax.lax.all_gather(gid, "shard")            # [S, B, k]
+        all_d = jax.lax.all_gather(gd, "shard")
+        Bq = queries.shape[0]
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(Bq, -1)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(Bq, -1)
+        sd, si = jax.lax.sort((all_d, all_i), num_keys=2)
+        out_i = jnp.where(si[:, :k] == BIG, -1, si[:, :k])
+        return out_i, sd[:, :k], cmps[None, :], hops[None, :]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("shard"),) * 7 + (P("dp"),),
+        out_specs=(P("dp"), P("dp"), P("shard", "dp"), P("shard", "dp")),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_tile_search(index: ShardedTileIndex, queries, *, k: int = 10,
+                        T: int = 8, Lc: int | None = None,
+                        metric: Metric | str = Metric.IP,
+                        mesh: Mesh | None = None,
+                        scan_impl: str = "grouped",
+                        with_stats: bool = False):
+    """Host wrapper for the SPMD tile search. Returns (ids [Q, k] global,
+    dists [Q, k]); ``with_stats=True`` adds per-shard (cmps, hops)."""
+    metric = Metric.parse(metric)
+    S = index.num_shards
+    if mesh is None:
+        mesh = make_mesh(S, 1)
+    dp = mesh.shape["dp"]
+    queries = np.asarray(queries)
+    Q = queries.shape[0]
+    pad = (-Q) % dp
+    if pad:
+        queries = np.concatenate(
+            [queries, np.zeros((pad, queries.shape[1]), queries.dtype)])
+    Lc = Lc or 2 * T
+    step = sharded_tile_search_step(mesh, k=k, T=T, Lc=Lc, metric=metric,
+                                    scan_impl=scan_impl)
+    ids, d, cmps, hops = step(
+        jnp.asarray(index.tiles_t), jnp.asarray(index.gids),
+        jnp.asarray(index.centroids), jnp.asarray(index.adj),
+        jnp.asarray(index.norms), jnp.asarray(index.offsets),
+        jnp.asarray(index.n_clusters), jnp.asarray(queries))
+    ids, d = np.asarray(ids), np.asarray(d)
+    if with_stats:
+        return (ids[:Q], d[:Q], np.asarray(cmps)[:, :Q],
+                np.asarray(hops)[:, :Q])
+    return ids[:Q], d[:Q]
+
+
+# ---------------------------------------------------------------------------
 # Sharded groundtruth (base-sharded exact k-NN)
 # ---------------------------------------------------------------------------
 

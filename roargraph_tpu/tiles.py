@@ -385,6 +385,9 @@ def tile_search_batch(
     use_graph: bool = True,
     scan_impl: str = "xla",  # "grouped" | "xla" | "pallas" |
                              # "pallas_interpret"
+    valid_clusters: jnp.ndarray | None = None,  # scalar int32: clusters
+                             # >= this are stacking padding (sharded layout)
+                             # and must never enter the frontier queue
 ):
     """Lockstep tile search: a fixed ``T``-step fori_loop (static shapes, no
     data-dependent control flow), one MXU contraction per expanded cluster.
@@ -410,8 +413,14 @@ def tile_search_batch(
     # frontier ordering: all-centroid scores, one [B, K] contraction
     s = pairwise_scores(queries, centroids, metric,
                         precision=jax.lax.Precision.DEFAULT)     # [B, K]
+    if valid_clusters is not None:
+        s = jnp.where(jnp.arange(K)[None, :] < valid_clusters, s, jnp.inf)
     q_d, q_i = jax.lax.top_k(-s, Lc)
     q_d, q_i = -q_d, q_i.astype(jnp.int32)
+    if valid_clusters is not None:
+        # an underfull shard (Lc > live clusters) must idle, not expand
+        # stacking-padding clusters
+        q_i = jnp.where(jnp.isfinite(q_d), q_i, BIG)
     q_e = jnp.zeros((B, Lc), jnp.int32)
 
     rk_d = jnp.full((B, k), jnp.inf, jnp.float32)

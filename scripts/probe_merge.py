@@ -41,7 +41,7 @@ qi = jnp.asarray(rng.integers(0, N, (B, L)).astype(np.int32))
 qe = jnp.zeros((B, L), jnp.int32)
 nd = jnp.asarray(rng.random((B, F)).astype(np.float32))
 ni = jnp.asarray(rng.integers(0, N, (B, F)).astype(np.int32))
-base32 = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+base32 = jnp.asarray(rng.standard_normal((N, D), dtype=np.float32))
 base16 = base32.astype(jnp.bfloat16)
 ids = jnp.asarray(rng.integers(0, N, (B, F)).astype(np.int32))
 W = (N + 31) // 32

@@ -147,6 +147,61 @@ def test_two_level_merge_matches_flat(rng):
     np.testing.assert_array_equal(flat_ids, four_ids)
 
 
+def test_sharded_tile_search_matches_single_device(rng):
+    """SPMD tile search (per-shard tile walk + all_gather k-merge) must be
+    bit-identical to running the single-device tile engine on each shard
+    and merging on the host — including with a ragged last shard and
+    per-shard cluster counts that differ (stacking padding masked by
+    n_clusters)."""
+    from roargraph_tpu.dist import build_sharded_tiles, sharded_tile_search
+    from roargraph_tpu.tiles import build_tiles, tile_search
+    from roargraph_tpu.graph import PaddedGraph
+
+    base, train_q = make_crossmodal(rng, n_base=910, n_query=600, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=48, dim=16)[1]
+    cfg = rt.BuildConfig(metric="ip", M_sq=20, M_pjbp=6, L_pjpq=30,
+                         prune_batch=256, search_batch=128)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=4)
+    assert index.shard_sizes[-1] < index.shard_sizes[0]
+    stidx = build_sharded_tiles(index, cluster_size=64, Mc=8, metric="ip",
+                                fill=0.75)
+    T = 6
+    ids, dists = sharded_tile_search(stidx, eval_q, k=10, T=T, metric="ip",
+                                     mesh=make_mesh(4, 2))
+
+    # single-device reference: same per-shard tile indexes (build_tiles is
+    # deterministic), searched one shard at a time, merged on the host
+    all_i, all_d = [], []
+    for s in range(4):
+        size = int(index.shard_sizes[s])
+        g = PaddedGraph(ids=index.adj[s, :size], ep=int(index.eps[s]))
+        ti = build_tiles(g, index.base[s, :size], cluster_size=64, Mc=8,
+                         metric="ip", fill=0.75)
+        si, sd, _, _ = tile_search(ti, eval_q, k=10, T=T, Lc=2 * T,
+                                   metric="ip")
+        gid = np.where(si >= 0, si.astype(np.int64) + index.offsets[s],
+                       np.int64(2**31 - 1))
+        all_i.append(gid)
+        all_d.append(np.where(si >= 0, sd, np.inf))
+    cat_i = np.concatenate(all_i, axis=1)
+    cat_d = np.concatenate(all_d, axis=1)
+    order = np.lexsort((cat_i, cat_d), axis=1)
+    ref_i = np.take_along_axis(cat_i, order, axis=1)[:, :10]
+    ref_d = np.take_along_axis(cat_d, order, axis=1)[:, :10]
+    ref_i = np.where(ref_i == 2**31 - 1, -1, ref_i)
+    np.testing.assert_array_equal(ids, ref_i)
+    np.testing.assert_allclose(dists, np.where(np.isfinite(ref_d), ref_d,
+                                               np.inf), rtol=1e-6)
+
+    # and the merged result is a sane global search
+    gt_ids, _ = knn(eval_q, base, k=10, metric="ip")
+    assert reval.recall_at_k(ids, gt_ids, 10) > 0.7
+
+
 def test_sharded_search_with_seeds(rng):
     base, train_q = make_crossmodal(rng, n_base=600, n_query=500, dim=16)
     eval_q = make_crossmodal(rng, n_base=1, n_query=48, dim=16)[1]
