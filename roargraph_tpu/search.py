@@ -430,7 +430,7 @@ def _compact(queries, orig_idx, state, active, *, out_size):
 
 def search_segmented(
     graph: PaddedGraph, base, queries, config: SearchConfig, *,
-    segment: int | None = None,
+    segment: int | None = None, seeds=None,
 ):
     """Serving-path search with straggler elimination.
 
@@ -440,6 +440,10 @@ def search_segmented(
     per-query hops instead of ``batch x max`` (the reference's OpenMP
     dynamic schedule achieves the same effect with work stealing,
     ``tests/test_search_roargraph.cpp:203``).
+
+    ``seeds`` (a :class:`~roargraph_tpu.ops.seeds.SeedIndex`) adds per-query
+    quantizer starts exactly as in the plain engine — large-N serving wants
+    seeded *and* segmented together.
     """
     adj = jnp.asarray(graph.ids)
     base_dev = jnp.asarray(base)
@@ -449,6 +453,16 @@ def search_segmented(
     segment = segment or max(L, 32)
     Bsz = min(config.batch_size, max(64, Q))
     ep = jnp.int32(graph.ep)
+
+    seed_fn = None
+    if seeds is not None and config.n_seeds > 0:
+        from .ops.seeds import seed_queries
+        sid = jnp.asarray(seeds.seed_ids)
+        svec = jnp.asarray(seeds.seed_vecs)
+
+        def seed_fn(qb):
+            return seed_queries(qb, sid, svec, n_seeds=config.n_seeds,
+                                metric=config.metric)
 
     out_ids = np.empty((Q, k), np.int32)
     out_d = np.empty((Q, k), np.float32)
@@ -480,8 +494,12 @@ def search_segmented(
             orig = np.concatenate([orig, np.full(pad, -1, np.int32)])
         qd = jnp.asarray(qb)
         oi = jnp.asarray(orig)
+        init_ids = init_dists = None
+        if seed_fn is not None:
+            init_ids, init_dists = seed_fn(qd)
         state = _init_state(base_dev, qd, ep, L=L, metric=config.metric,
-                            N=adj.shape[0], R=1)
+                            N=adj.shape[0], R=1, init_ids=init_ids,
+                            init_dists=init_dists)
         for _ in range(max_rounds):
             state, n_active, active = _run_segment(
                 adj, base_dev, qd, oi, state, L=L, metric=config.metric,
@@ -502,6 +520,10 @@ def search_segmented(
                                          out_size=target)
         else:
             finalize(state, oi, np.ones(qd.shape[0], bool))
+    if config.check_min_results and (out_ids < 0).any():
+        short = int((out_ids < 0).any(axis=1).sum())
+        raise RuntimeError(
+            f"not enough results for {short} queries, expected: {config.k}")
     return out_ids, out_d, out_cmps, out_hops
 
 
@@ -520,14 +542,8 @@ def search(
 
     Returns numpy (ids [Q, k], dists [Q, k], cmps [Q], hops [Q])."""
     if config.segmented:
-        if seeds is not None and config.n_seeds > 0:
-            raise ValueError("segmented search does not support seeded "
-                             "starts yet; use segmented=False with seeds")
-        if config.check_min_results:
-            raise ValueError("segmented search does not support "
-                             "check_min_results; use segmented=False")
         return search_segmented(graph, base, queries, config,
-                                segment=config.segment_hops)
+                                segment=config.segment_hops, seeds=seeds)
     adj = jnp.asarray(graph.ids)
     base_dev = jnp.asarray(base)
     # device-resident: a jnp query array is sliced on device, not re-uploaded

@@ -49,11 +49,11 @@ supply_i[:, :M] = adj_i
 supply_d[:, :M] = adj_d
 
 combos = [
-    dict(B=1024, E=1, chunk=32, dense=None),
-    dict(B=1024, E=4, chunk=32, dense=None),
-    dict(B=1024, E=1, chunk=32, dense=False),
-    dict(B=1024, E=4, chunk=64, dense=False),
     dict(B=2048, E=1, chunk=32, dense=None),
+    dict(B=2048, E=4, chunk=64, dense=None),
+    dict(B=2048, E=4, chunk=0, dense=None),
+    dict(B=2048, E=8, chunk=96, dense=None),
+    dict(B=2048, E=8, chunk=0, dense=None),
 ]
 n_batches = 4
 for c in combos:

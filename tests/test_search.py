@@ -219,6 +219,47 @@ def test_segmented_matches_plain(rng):
     np.testing.assert_array_equal(p[3], s[3])          # hops exact
 
 
+def test_segmented_with_seeds_and_min_results(rng):
+    """Seeded starts and check_min_results work in the segmented engine and
+    match the plain engine bit-for-bit (large-N serving wants seeded AND
+    segmented together)."""
+    from roargraph_tpu.ops.seeds import build_seeds
+
+    n, dim = 300, 10
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 7)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((150, dim)).astype(np.float32)
+    sidx = build_seeds(base, n_centroids=16, iters=2, metric="ip")
+    plain = SearchConfig(k=5, L_pq=24, metric=Metric.IP, batch_size=128,
+                         n_seeds=4, check_min_results=True)
+    seg = SearchConfig(k=5, L_pq=24, metric=Metric.IP, batch_size=128,
+                       n_seeds=4, check_min_results=True,
+                       segmented=True, segment_hops=8)
+    p = rsearch.search(g, base, queries, plain, seeds=sidx)
+    s = rsearch.search(g, base, queries, seg, seeds=sidx)
+    np.testing.assert_array_equal(p[0], s[0])
+    np.testing.assert_allclose(p[1], s[1], rtol=1e-6)
+    np.testing.assert_array_equal(p[2], s[2])
+    np.testing.assert_array_equal(p[3], s[3])
+
+
+def test_segmented_check_min_results_raises(rng):
+    """A graph too disconnected to fill k results must raise the reference's
+    error (``check_min_results``) from the segmented engine too."""
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    # ep-only island: every node's list is empty except ep -> one neighbor
+    lists = [[] for _ in range(40)]
+    lists[0] = [1]
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((8, 8)).astype(np.float32)
+    cfg = SearchConfig(k=5, L_pq=8, metric=Metric.IP, batch_size=8,
+                       check_min_results=True, segmented=True,
+                       segment_hops=4)
+    with pytest.raises(RuntimeError, match="not enough results"):
+        rsearch.search(g, base, queries, cfg)
+
+
 def test_dynamic_L_matches_static(rng):
     """A bucketed (padded-width) queue with runtime capacity must behave
     exactly like the statically-sized queue: same ids, cmps, hops."""
