@@ -25,12 +25,18 @@ component).
 Known, deliberate divergences from the reference (all order-level, none
 semantic — parity is judged on the recall/QPS curve, SURVEY.md §7.4):
 
-- reverse-edge arrival order is source-id-ascending instead of thread-racing;
-- a node overflowing during reverse insertion is re-pruned once over the full
-  candidate union instead of once per arriving edge (phase A), or appended
-  up to the 2*M bound with overflow pruning deferred to the final degree
-  check (phase B);
-- phase-B incrementality is batch-granular instead of per-node;
+- reverse-edge arrival order is deterministic — source-id-ascending in
+  phase A, (destination, distance, source)-ascending in phase B — instead
+  of thread-racing;
+- a node overflowing during reverse insertion is re-pruned once per bulk
+  round over the candidate union instead of once per arriving edge: phase A
+  prunes the full union; phase B appends closest-first to the ``2*M`` bound
+  and occlusion-re-prunes up to B overflowing destinations per batch over
+  (current row ∪ M closest dropped arrivals) — the batched analog of
+  ``SupplyAddReverse``'s per-event re-prune;
+- phase-B incrementality is batch-granular instead of per-node, with a
+  geometric batch-size ramp (:func:`phase_b_schedule`) so the early,
+  connectivity-critical nodes get near-per-node granularity;
 - the phase-B expanded-set capture is bounded at ``L_pjpq`` entries.
 """
 from __future__ import annotations
@@ -382,23 +388,85 @@ def _phase_b_step(supply_i, supply_d, deg, ret_i, ret_d, nodes, nodes_ok,
     rows = supply_i[jnp.clip(dst_l, 0, N - 1)]               # [B*M, W]
     already = jnp.any(rows == src[:, None], axis=1)
     dst_l = jnp.where(already, BIGI, dst_l)
-    # deterministic arrival order: (dst, src) ascending (invalid sort last)
-    sdst, ssrc, sd = jax.lax.sort((dst_l, src, dval), num_keys=2)
+    # deterministic arrival order: (dst, dist, src) ascending — closest
+    # arrivals win the free slots (invalid sort last)
+    sdst, sd, ssrc = jax.lax.sort((dst_l, dval, src), num_keys=3)
     E = sdst.shape[0]
     idx = jnp.arange(E, dtype=jnp.int32)
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), sdst[1:] != sdst[:-1]])
     first_idx = jax.lax.cummax(jnp.where(is_first, idx, 0))
     rank = idx - first_idx
-    pos = deg[jnp.clip(sdst, 0, N - 1)].astype(jnp.int32) + rank
-    accepted = (sdst < BIGI) & (pos < W)
+    deg_d = deg[jnp.clip(sdst, 0, N - 1)].astype(jnp.int32)
+    avail = jnp.maximum(W - deg_d, 0)
+    accepted = (sdst < BIGI) & (rank < avail)
     tgt2 = jnp.where(accepted, sdst, N)
-    pos = jnp.where(accepted, pos, 0)
+    pos = jnp.where(accepted, deg_d + rank, 0)
     supply_i = supply_i.at[tgt2, pos].set(ssrc.astype(jnp.int32),
                                           mode="drop")
     supply_d = supply_d.at[tgt2, pos].set(sd, mode="drop")
     deg = deg.at[tgt2].add(accepted.astype(deg.dtype), mode="drop")
+
+    # --- overflow absorb + re-prune (``SupplyAddReverse:1362-1387``) ----
+    # A destination whose reverse fan-in exceeds its free slots is NOT
+    # allowed to drop the overflow: the reference occlusion-re-prunes the
+    # neighbor union down to M, making room for closer arrivals (dropping
+    # instead measurably costs graph quality — see test_crossval_cpp).
+    # Bulk analog: per batch, up to B overflowing destinations get their
+    # post-append row unioned with their A closest dropped arrivals and
+    # re-pruned to M in one batched occlusion pass.
+    P, A = B, M
+    marker = (sdst < BIGI) & (rank == avail)   # one edge per overflow dst
+    m_idx = jnp.argsort(jnp.where(marker, idx, E + idx))[:P]
+    m_valid = marker[m_idx]
+    dst_p = jnp.where(m_valid, sdst[m_idx], N)               # [P]
+    e_mat = m_idx[:, None] + jnp.arange(A, dtype=jnp.int32)  # [P, A]
+    e_safe = jnp.clip(e_mat, 0, E - 1)
+    ex_ok = (m_valid[:, None] & (e_mat < E) &
+             (sdst[e_safe] == dst_p[:, None]))
+    ex_src = jnp.where(ex_ok, ssrc[e_safe].astype(jnp.int32), PAD)
+    ex_d = jnp.where(ex_ok, sd[e_safe], jnp.inf)
+
+    dst_safe = jnp.clip(dst_p, 0, N - 1)
+    row_i = supply_i[dst_safe]                               # [P, W]
+    row_d = supply_d[dst_safe]
+    cand_i = jnp.concatenate([row_i, ex_src], axis=1)        # [P, W+A]
+    cand_d = jnp.concatenate([row_d, ex_d], axis=1)
+    cand_v = (cand_i != PAD) & m_valid[:, None]
+    pr_i, pr_d = occlusion_prune(
+        cand_i, cand_d, cand_v, base_dev[dst_safe], base_dev,
+        metric=metric, M=M, backfill=False)
+    new_i = jnp.full((P, W), PAD, jnp.int32).at[:, :M].set(pr_i)
+    new_d = jnp.full((P, W), jnp.inf, jnp.float32).at[:, :M].set(pr_d)
+    tgt3 = jnp.where(m_valid, dst_p, N)
+    supply_i = supply_i.at[tgt3].set(new_i, mode="drop")
+    supply_d = supply_d.at[tgt3].set(new_d, mode="drop")
+    deg = deg.at[tgt3].set(jnp.sum(pr_i != PAD, axis=1).astype(deg.dtype),
+                           mode="drop")
     return supply_i, supply_d, deg
+
+
+def phase_b_schedule(N: int, B: int, *, ramp_from: int = 16):
+    """Deterministic phase-B batch schedule: geometric ramp ``ramp_from``
+    → ``B``, then fixed ``B``-node batches. Early batches are small because
+    incrementality is front-loaded — the first nodes search a near-empty
+    graph, and coarse batching there measurably costs final graph quality
+    (test_crossval_cpp); once the supply graph is dense, per-batch staleness
+    is negligible and full-width batches restore device efficiency. The
+    ramp covers < 2*B nodes total, so large-N wall-clock is unchanged.
+
+    Returns [(start_node, end_node, padded_width), ...]; shared by the
+    sequential and SPMD builds so both walk identical batch boundaries."""
+    sizes = []
+    b = min(ramp_from, B)
+    s = 0
+    while s < N:
+        e = min(s + b, N)
+        sizes.append((s, e, b))
+        s = e
+        if b < B:
+            b = min(b * 2, B)
+    return sizes
 
 
 def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
@@ -455,16 +523,16 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     proj_i_dev = jnp.asarray(proj_i)
     max_hops = 16 * L + 64
     batches_done = 0
-    prune_chunk = min(cfg.prune_batch, 256)
-    if B % prune_chunk:
-        prune_chunk = 0  # fall back to one full-batch prune
+    base_prune_chunk = min(cfg.prune_batch, 256)
 
-    for s in range(start, N, B):
-        e = min(s + B, N)
+    for s, e, b in phase_b_schedule(N, B):
+        if s < start:
+            continue  # resumed past this batch (schedule is deterministic)
+        prune_chunk = 0 if b % base_prune_chunk else base_prune_chunk
         nodes = np.arange(s, e, dtype=np.int32)
-        nodes_ok = np.ones(B, bool)
-        if e - s < B:
-            nodes = np.concatenate([nodes, np.zeros(B - (e - s), np.int32)])
+        nodes_ok = np.ones(b, bool)
+        if e - s < b:
+            nodes = np.concatenate([nodes, np.zeros(b - (e - s), np.int32)])
             nodes_ok[e - s:] = False
         nodes_dev = jnp.asarray(nodes)
         res = beam_search_batch(

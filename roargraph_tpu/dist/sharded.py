@@ -145,23 +145,25 @@ def sharded_phase_b_program(mesh: Mesh, *, metric: Metric, M: int, L: int,
     lockstep trip count (shards are padded to equal size).
 
     Returned fn: (supply_i [S,N_s,W], supply_d, deg [S,N_s], proj_i
-    [S,N_s,M], base [S,N_s,D], eps [S], sizes [S], start) -> updated
-    (supply_i, supply_d, deg); ``start`` is the first batch index (traced,
-    so one compile serves the whole host-side checkpoint loop).
+    [S,N_s,M], base [S,N_s,D], eps [S], sizes [S], node_start) -> updated
+    (supply_i, supply_d, deg); ``node_start`` is the first node id (traced,
+    so one compile serves the whole host-side schedule/checkpoint loop —
+    the host walks ``build.phase_b_schedule`` and calls one program
+    instance per distinct batch width).
     """
     from ..build import _phase_b_step
     step_fn = getattr(_phase_b_step, "__wrapped__", _phase_b_step)
     W = 2 * M
     max_hops = 16 * L + 64
 
-    def local(supply_i, supply_d, deg, proj_i, base, eps, sizes, start):
+    def local(supply_i, supply_d, deg, proj_i, base, eps, sizes, node_start):
         si, sd, dg = supply_i[0], supply_d[0], deg[0]
         pi_dev, bs, ep, size = proj_i[0], base[0], eps[0], sizes[0]
         N_s = si.shape[0]
 
         def body(t, carry):
             si, sd, dg = carry
-            nodes = t * B + jnp.arange(B, dtype=jnp.int32)
+            nodes = node_start + t * B + jnp.arange(B, dtype=jnp.int32)
             nodes_ok = nodes < size
             safe = jnp.clip(nodes, 0, N_s - 1)
             res = beam_search_batch(
@@ -173,8 +175,7 @@ def sharded_phase_b_program(mesh: Mesh, *, metric: Metric, M: int, L: int,
                            nodes, nodes_ok, pi_dev, bs,
                            metric=metric, M=M, W=W, prune_chunk=0)
 
-        si, sd, dg = jax.lax.fori_loop(start, start + steps, body,
-                                       (si, sd, dg))
+        si, sd, dg = jax.lax.fori_loop(0, steps, body, (si, sd, dg))
         return si[None], sd[None], dg[None]
 
     fn = jax.shard_map(
@@ -312,8 +313,6 @@ def _spmd_phase_b_finish(base, phase_a_per_shard, cfg: BuildConfig,
     N, D = base.shape
     M, L, B = cfg.M_pjbp, cfg.L_pjpq, cfg.search_batch
     W = 2 * M
-    n_batches = (n_s + B - 1) // B
-    steps = steps_per_call or n_batches
 
     sup_i = np.full((n_shards, n_s, W), PAD, np.int32)
     sup_d = np.full((n_shards, n_s, W), np.inf, np.float32)
@@ -339,18 +338,32 @@ def _spmd_phase_b_finish(base, phase_a_per_shard, cfg: BuildConfig,
         eps[s] = compute_medoid(shard_dev)
         sizes[s] = hi - lo
 
-    program = sharded_phase_b_program(
-        mesh, metric=cfg.metric, M=M, L=L, B=B, steps=steps,
-        expand_width=cfg.search_expand)
+    # Walk the shared batch schedule (ramp + uniform tail — identical
+    # boundaries to the sequential per-shard build); one compiled program
+    # per distinct (width, steps) pair.
+    from ..build import phase_b_schedule
+    sched = phase_b_schedule(n_s, B)
+    runs = []  # (node_start, width, n_batches_in_run)
+    for s, e, b in sched:
+        if runs and runs[-1][1] == b and (
+                not steps_per_call or runs[-1][2] < steps_per_call):
+            runs[-1][2] += 1
+        else:
+            runs.append([s, b, 1])
+    programs = {}
     deg = (sup_i != PAD).sum(axis=2).astype(np.int32)
     si, sd, dg = (jnp.asarray(sup_i), jnp.asarray(sup_d), jnp.asarray(deg))
     pj, bs = jnp.asarray(proj), jnp.asarray(stacked)
     ej, sz = jnp.asarray(eps), jnp.asarray(sizes)
-    for start in range(0, n_batches, steps):
-        si, sd, dg = program(si, sd, dg, pj, bs, ej, sz, jnp.int32(start))
-        if verbose and n_batches > steps:
-            print(f"spmd phase B: {min(start + steps, n_batches)}"
-                  f"/{n_batches} batches")
+    for node_start, b, k in runs:
+        if (b, k) not in programs:
+            programs[(b, k)] = sharded_phase_b_program(
+                mesh, metric=cfg.metric, M=M, L=L, B=b, steps=k,
+                expand_width=cfg.search_expand)
+        si, sd, dg = programs[(b, k)](si, sd, dg, pj, bs, ej, sz,
+                                      jnp.int32(node_start))
+        if verbose and len(runs) > 1:
+            print(f"spmd phase B: nodes {node_start + b * k}/{n_s}")
     sup_i, sup_d = np.array(si), np.array(sd)
 
     graphs = []
