@@ -526,8 +526,11 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     base_prune_chunk = min(cfg.prune_batch, 256)
 
     for s, e, b in phase_b_schedule(N, B):
-        if s < start:
-            continue  # resumed past this batch (schedule is deterministic)
+        if e <= start:
+            continue  # resumed past this batch
+        # a checkpoint from a different schedule (e.g. pre-ramp) can land
+        # mid-batch: process only the unfinished tail, padded to width b
+        s = max(s, start)
         prune_chunk = 0 if b % base_prune_chunk else base_prune_chunk
         nodes = np.arange(s, e, dtype=np.int32)
         nodes_ok = np.ones(b, bool)
