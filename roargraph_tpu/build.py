@@ -538,11 +538,17 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
             nodes = np.concatenate([nodes, np.zeros(b - (e - s), np.int32)])
             nodes_ok[e - s:] = False
         nodes_dev = jnp.asarray(nodes)
+        # visited-free dedup mode: same expansion sequence (test-pinned),
+        # but no [B, N/32] visited state or its gather/scatter — the single
+        # largest per-hop cost at N >= 1M (scripts/probe_merge.py). One
+        # full-width gather+merge per hop (gather_chunk=0) since every
+        # neighbor is scored.
         res = beam_search_batch(
             supply_i_dev, base_dev, base_dev[nodes_dev], jnp.int32(ep),
             k=1, L=L, metric=cfg.metric, max_hops=max_hops,
             capture=R, exclude_self=True, self_ids=nodes_dev,
-            expand_width=cfg.search_expand)
+            expand_width=cfg.search_expand, visited_mode="dedup",
+            gather_chunk=0)
         supply_i_dev, supply_d_dev, deg_dev = _phase_b_step(
             supply_i_dev, supply_d_dev, deg_dev, res.ret_ids, res.ret_dists,
             nodes_dev, jnp.asarray(nodes_ok), proj_i_dev, base_dev,

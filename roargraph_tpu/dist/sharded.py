@@ -131,8 +131,7 @@ def sharded_phase_a_step(mesh: Mesh, *, metric: Metric, M: int, M_sq: int,
 
 
 def sharded_phase_b_program(mesh: Mesh, *, metric: Metric, M: int, L: int,
-                            B: int, steps: int, expand_width: int = 1,
-                            gather_chunk: int = 32):
+                            B: int, steps: int, expand_width: int = 1):
     """One SPMD mesh program advancing EVERY shard's phase B by ``steps``
     incremental batches of ``B`` nodes (``build._phase_b_search_prune``'s
     loop body, run per-shard in lockstep under ``shard_map``).
@@ -170,7 +169,7 @@ def sharded_phase_b_program(mesh: Mesh, *, metric: Metric, M: int, L: int,
                 si, bs, bs[safe], ep, k=1, L=L, metric=metric,
                 max_hops=max_hops, capture=L, exclude_self=True,
                 self_ids=nodes, expand_width=expand_width,
-                gather_chunk=gather_chunk)
+                visited_mode="dedup", gather_chunk=0)
             return step_fn(si, sd, dg, res.ret_ids, res.ret_dists,
                            nodes, nodes_ok, pi_dev, bs,
                            metric=metric, M=M, W=W, prune_chunk=0)

@@ -91,6 +91,31 @@ def _merge_sorted(cand_d, cand_i, cand_e, new_d, new_i, L):
     return all_d[:, :L], all_i[:, :L], all_e[:, :L]
 
 
+def _merge_sorted_dedup(cand_d, cand_i, cand_e, new_d, new_i, L):
+    """Dedup-merge for the visited-free search mode: new candidates may be
+    re-scores of nodes already in the queue. Duplicates are collapsed by id
+    with provenance priority expanded > queue-unexpanded > new — the exact
+    analog of the bitmask's first-score-wins rule (the in-queue copy IS the
+    first score; a re-score is discarded even if it differs by an ulp from
+    a different scoring program, e.g. the init-state ep path). Sort by
+    (id, -priority, dist), mask non-first per id group, re-sort by
+    (dist, id)."""
+    B = cand_d.shape[0]
+    all_d = jnp.concatenate([cand_d, new_d], axis=1)
+    all_i = jnp.concatenate([cand_i, new_i], axis=1)
+    qp = jnp.where(cand_e == 1, jnp.int32(2), jnp.int32(1))
+    all_p = jnp.concatenate([qp, jnp.zeros_like(new_i)], axis=1)
+    i1, np1, d1 = jax.lax.sort((all_i, -all_p, all_d), num_keys=3)
+    e1 = jnp.where(-np1 == 2, jnp.int32(1), jnp.int32(0))
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), i1[:, 1:] == i1[:, :-1]], axis=1)
+    d1 = jnp.where(dup, jnp.inf, d1)
+    i1 = jnp.where(dup, BIG, i1)
+    e1 = jnp.where(dup, 0, e1)
+    d2, i2, e2 = jax.lax.sort((d1, i1, e1), num_keys=2)
+    return d2[:, :L], i2[:, :L], e2[:, :L]
+
+
 # ---------------------------------------------------------------------------
 # The hop body (shared by the plain and segmented engines)
 # ---------------------------------------------------------------------------
@@ -104,16 +129,29 @@ DENSE_VISITED_MAX_WORDS = 4096
 
 def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
               exclude_self, gather_chunk, expand_width, L_eff=None,
-              visited_dense=None):
+              visited_dense=None, visited_mode="bitmask"):
     """Build (cond, body) over the state tuple
-    (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, it)."""
+    (cand_d, cand_i, cand_e, visited, cmps, hops, ret_i, ret_d, it).
+
+    ``visited_mode="dedup"`` drops the visited bitmask entirely: every valid
+    neighbor is (re-)scored and duplicates are collapsed in the queue merge
+    (:func:`_merge_sorted_dedup`). Queue evolution — hence ids/dists/hops
+    and the expansion-order capture — is IDENTICAL to the bitmask mode
+    (re-scores have bit-identical keys; a node dropped from the queue can
+    never re-enter because the top-L only improves under the (dist, id)
+    total order), but ``cmps`` counts re-scores, and the O(B * N / 32)
+    visited state plus its gather/scatter (the single largest per-hop cost
+    at N >= 1M, scripts/probe_merge.py) disappear. Used by the phase-B
+    internal search, where cmps accounting is not reported."""
     N, Mx = adj.shape
     B = queries.shape[0]
     E = expand_width
     EM = E * Mx
     W = (N + 31) // 32
+    dedup = visited_mode == "dedup"
+    merge = _merge_sorted_dedup if dedup else _merge_sorted
     if visited_dense is None:
-        visited_dense = W <= DENSE_VISITED_MAX_WORDS
+        visited_dense = (not dedup) and W <= DENSE_VISITED_MAX_WORDS
     b_rows = jax.lax.broadcasted_iota(jnp.int32, (B, EM), 0)
 
     if L_eff is None:
@@ -173,20 +211,25 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
                                         axis=1)
         n_safe = jnp.clip(nbrs, 0, N - 1)
 
-        w_idx = n_safe // 32
-        bits = jnp.uint32(1) << (n_safe % 32).astype(jnp.uint32)
-        if visited_dense:
-            iw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-            eq = w_idx[:, :, None] == iw                   # fused, [B, EM, W]
-            words = jnp.sum(
-                jnp.where(eq, visited[:, None, :], jnp.uint32(0)), axis=2)
+        if dedup:
+            fresh = valid
         else:
-            words = visited[b_rows, w_idx]
-        fresh = valid & ((words & bits) == 0)
+            w_idx = n_safe // 32
+            bits = jnp.uint32(1) << (n_safe % 32).astype(jnp.uint32)
+            if visited_dense:
+                iw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+                eq = w_idx[:, :, None] == iw               # fused, [B, EM, W]
+                words = jnp.sum(
+                    jnp.where(eq, visited[:, None, :], jnp.uint32(0)), axis=2)
+            else:
+                words = visited[b_rows, w_idx]
+            fresh = valid & ((words & bits) == 0)
         if exclude_self:
             fresh = fresh & (nbrs != self_ids[:, None])
         use_chunks = gather_chunk and gather_chunk < EM
-        if visited_dense:
+        if dedup:
+            pass
+        elif visited_dense:
             delta = jnp.sum(jnp.where(eq & fresh[:, :, None],
                                       bits[:, :, None], jnp.uint32(0)),
                             axis=1)                        # [B, W]
@@ -226,7 +269,7 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
                 mk_c = jax.lax.dynamic_slice_in_dim(
                     c_fresh.astype(jnp.int32), c * F, F, axis=1).astype(bool)
                 safe_c = jnp.clip(ids_c, 0, N - 1)
-                if not visited_dense:
+                if not (dedup or visited_dense):
                     # bit-set rides in the chunk: the scatter touches only
                     # ~n_fresh elements instead of all E*Mx scanned ones
                     bits_c = (jnp.uint32(1)
@@ -237,7 +280,7 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
                 dd = batched_scores(queries, v, metric)
                 dd = jnp.where(mk_c, dd, jnp.inf)
                 ii2 = jnp.where(mk_c, ids_c, BIG)
-                cd, ci, ce = cap(*_merge_sorted(cd, ci, ce, dd, ii2, L))
+                cd, ci, ce = cap(*merge(cd, ci, ce, dd, ii2, L))
                 return cd, ci, ce, vis, c + 1
 
             cand_d, cand_i, cand_e, visited, _ = jax.lax.while_loop(
@@ -248,7 +291,7 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
             d = batched_scores(queries, vecs, metric)
             d = jnp.where(fresh, d, jnp.inf)
             ii = jnp.where(fresh, nbrs, BIG)
-            cand_d, cand_i, cand_e = cap(*_merge_sorted(
+            cand_d, cand_i, cand_e = cap(*merge(
                 cand_d, cand_i, cand_e, d, ii, L))
         cmps = cmps + jnp.sum(fresh, axis=1).astype(jnp.int32)
         if capture:
@@ -270,9 +313,9 @@ def _make_hop(adj, base, queries, self_ids, *, L, metric, capture, R,
 
 
 def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
-                init_dists=None, L_eff=None):
+                init_dists=None, L_eff=None, track_visited=True):
     B = queries.shape[0]
-    W = (N + 31) // 32
+    W = (N + 31) // 32 if track_visited else 1
     ep_vec = base[ep][None, :]
     ep_d = pointwise_scores(jnp.broadcast_to(ep_vec, queries.shape), queries,
                             metric)
@@ -280,8 +323,10 @@ def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
     if init_ids is None:
         cand_d = jnp.full((B, L), jnp.inf, jnp.float32).at[:, 0].set(ep_d)
         cand_i = jnp.full((B, L), BIG, jnp.int32).at[:, 0].set(ep)
-        ep_word, ep_bit = ep // 32, jnp.uint32(1) << jnp.uint32(ep % 32)
-        visited = visited.at[:, ep_word].set(ep_bit)
+        if track_visited:
+            ep_word = ep // 32
+            ep_bit = jnp.uint32(1) << jnp.uint32(ep % 32)
+            visited = visited.at[:, ep_word].set(ep_bit)
         cmps = jnp.ones((B,), jnp.int32)  # the ep distance (``:2340``)
     else:
         # entry point + per-query seed candidates, id-deduplicated so the
@@ -300,8 +345,9 @@ def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
         safe = jnp.clip(si, 0, N - 1)
         bits = jnp.where(dup, jnp.uint32(0),
                          jnp.uint32(1) << (safe % 32).astype(jnp.uint32))
-        b_r = jax.lax.broadcasted_iota(jnp.int32, (B, S + 1), 0)
-        visited = visited.at[b_r, safe // 32].add(bits)
+        if track_visited:
+            b_r = jax.lax.broadcasted_iota(jnp.int32, (B, S + 1), 0)
+            visited = visited.at[b_r, safe // 32].add(bits)
         si = jnp.where(dup, BIG, si)
         sd = jnp.where(dup, jnp.inf, sd)
         pad = max(L - (S + 1), 0)
@@ -330,7 +376,8 @@ def _init_state(base, queries, ep, *, L, metric, N, R, init_ids=None,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "L", "metric", "max_hops", "capture", "exclude_self",
-                     "gather_chunk", "expand_width", "visited_dense"),
+                     "gather_chunk", "expand_width", "visited_dense",
+                     "visited_mode"),
 )
 def beam_search_batch(
     adj: jnp.ndarray,       # [N, Mx] int32 padded adjacency
@@ -359,6 +406,9 @@ def beam_search_batch(
                                             # L_pq sweep (L is the padded
                                             # static width)
     visited_dense: bool | None = None,      # None = auto by bitmask width
+    visited_mode: str = "bitmask",          # "dedup": no visited state, dup
+                                            # collapse in the merge (same
+                                            # results, cmps counts re-scores)
 ) -> SearchResult:
     N, _ = adj.shape
     B = queries.shape[0]
@@ -370,10 +420,12 @@ def beam_search_batch(
                            capture=capture, R=R, exclude_self=exclude_self,
                            gather_chunk=gather_chunk,
                            expand_width=expand_width, L_eff=L_eff,
-                           visited_dense=visited_dense)
+                           visited_dense=visited_dense,
+                           visited_mode=visited_mode)
     state = _init_state(base, queries, ep, L=L, metric=metric, N=N, R=R,
                         init_ids=init_ids, init_dists=init_dists,
-                        L_eff=L_eff)
+                        L_eff=L_eff,
+                        track_visited=visited_mode != "dedup")
 
     def cond_max(st):
         return cond(st) & (st[8] < max_hops)

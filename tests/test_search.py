@@ -200,6 +200,36 @@ def test_expand_width_capture(rng):
     assert h4.mean() > 0.5 * h1.mean()
 
 
+def test_dedup_mode_matches_bitmask(rng):
+    """The visited-free search mode (duplicates collapsed in the queue merge)
+    must reproduce the bitmask engine's queue evolution exactly: same ids,
+    dists, hops, and expansion-order capture. Only cmps may grow (re-scores
+    are counted). This is what licenses phase B to drop the O(B*N/32)
+    visited state."""
+    n, dim = 400, 12
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 6)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((64, dim)).astype(np.float32)
+    adj, bb, qq = jnp.asarray(g.ids), jnp.asarray(base), jnp.asarray(queries)
+    for L, chunk in ((16, 32), (40, 0)):
+        a = rsearch.beam_search_batch(
+            adj, bb, qq, jnp.int32(0), k=5, L=L, metric=Metric.IP,
+            max_hops=10_000, capture=L, exclude_self=True,
+            self_ids=jnp.arange(64, dtype=jnp.int32), gather_chunk=chunk)
+        b = rsearch.beam_search_batch(
+            adj, bb, qq, jnp.int32(0), k=5, L=L, metric=Metric.IP,
+            max_hops=10_000, capture=L, exclude_self=True,
+            self_ids=jnp.arange(64, dtype=jnp.int32), gather_chunk=chunk,
+            visited_mode="dedup")
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_allclose(np.asarray(a.dists), np.asarray(b.dists))
+        np.testing.assert_array_equal(np.asarray(a.hops), np.asarray(b.hops))
+        np.testing.assert_array_equal(np.asarray(a.ret_ids),
+                                      np.asarray(b.ret_ids))
+        assert (np.asarray(b.cmps) >= np.asarray(a.cmps)).all()
+
+
 def test_segmented_matches_plain(rng):
     """Segmented serving engine must return bit-identical results, cmps and
     hops — segmentation and compaction are pure scheduling transforms."""
