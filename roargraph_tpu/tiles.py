@@ -204,11 +204,32 @@ def _balanced_assign(base: np.ndarray, n_clusters: int, cap: int, *,
     from .ops.topk import knn
 
     n = base.shape[0]
-    cents = np.asarray(_kmeans(jnp.asarray(base), jax.random.PRNGKey(seed),
+    # At very large N the k-means objective is already saturated by a
+    # subsample (loss is per-centroid-local); training on all N points would
+    # cost iters * N * K * D flops — hours at 10M/56k centroids. Train on a
+    # bounded sample, assign all N once below. Small/medium N keep the exact
+    # full-data path (bit-identical to previous builds).
+    SAMPLE_GATE = 3_000_000
+    if n > SAMPLE_GATE:
+        samp = max(1_000_000, 20 * n_clusters)
+        sel = np.random.default_rng(seed).choice(n, size=min(samp, n),
+                                                 replace=False)
+        train = base[np.sort(sel)]
+    else:
+        train = base
+    cents = np.asarray(_kmeans(jnp.asarray(train), jax.random.PRNGKey(seed),
                                n_centroids=n_clusters, iters=iters))
     n_choices = min(n_choices, n_clusters)
-    # per-point closest centroids (exact, tiled on device)
-    choice_ids, choice_d = knn(base, cents, k=n_choices, metric=Metric.L2)
+    # per-point closest centroids (tiled on device); at large N use bf16
+    # multiplies + per-tile approx selection — assignment choices tolerate
+    # tail-order noise, and f32-precision selection alone would dominate
+    # the whole tile build at 10M
+    big = n > SAMPLE_GATE
+    choice_ids, choice_d = knn(
+        base, cents, k=n_choices, metric=Metric.L2,
+        precision=(jax.lax.Precision.DEFAULT if big
+                   else jax.lax.Precision.HIGHEST),
+        approx=big)
     choice_ids = choice_ids.astype(np.int64)
 
     assign = np.full(n, -1, np.int64)
@@ -236,6 +257,18 @@ def _balanced_assign(base: np.ndarray, n_clusters: int, cap: int, *,
         free = cap - used
         slots = np.repeat(np.arange(n_clusters), np.maximum(free, 0))
         assign[todo] = slots[: todo.size]
+        # Assignment-quality observability: points placed outside their
+        # n_choices nearest centroids are a silent recall risk that grows
+        # with occupancy pressure — surface the count and the distance
+        # penalty instead of hiding it.
+        import sys
+        d_got = np.linalg.norm(base[todo] - cents[assign[todo]], axis=1)
+        d_want = np.sqrt(np.maximum(choice_d[todo, 0], 0))
+        print(f"_balanced_assign: {todo.size}/{n} points "
+              f"({100.0 * todo.size / n:.2f}%) placed outside their "
+              f"{n_choices} nearest centroids; mean dist "
+              f"{d_got.mean():.3f} vs nearest {d_want.mean():.3f}",
+              file=sys.stderr, flush=True)
     return assign
 
 
@@ -309,20 +342,23 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
     adj = np.full((K, Mc), PAD, np.int32)
     adj[e_src[keep], rank[keep]] = e_dst[keep].astype(np.int32)
 
-    # geometric backstop edges (nearest centroids, excluding self)
+    # geometric backstop edges (nearest centroids, excluding self) —
+    # vectorized: at 10M-scale K is ~50k+ and a per-cluster Python loop is
+    # interpreter-bound
     if K > 1 and centroid_knn_edges > 0:
         nn_ids, _ = knn(centroids, centroids,
                         k=min(centroid_knn_edges + 1, K), metric=Metric.L2)
-        for kk in range(K):
-            have = set(adj[kk][adj[kk] != PAD].tolist())
-            slot = int((adj[kk] != PAD).sum())
-            for cand in nn_ids[kk]:
-                cand = int(cand)
-                if cand == kk or cand in have or slot >= Mc:
-                    continue
-                adj[kk, slot] = cand
-                have.add(cand)
-                slot += 1
+        nn_ids = nn_ids.astype(np.int64)                    # [K, E1]
+        E1 = nn_ids.shape[1]
+        rows = np.broadcast_to(np.arange(K)[:, None], (K, E1))
+        ok = (nn_ids != rows) & ~(
+            nn_ids[:, :, None] == adj[:, None, :].astype(np.int64)
+        ).any(axis=2)
+        rank = np.cumsum(ok, axis=1) - 1
+        deg = (adj != PAD).sum(axis=1)
+        slot = deg[:, None] + rank
+        put = ok & (slot < Mc)
+        adj[rows[put], slot[put]] = nn_ids[put].astype(np.int32)
 
     ep = int(assign[graph.ep])
     return TileIndex(tiles=tiles, gids=gids, centroids=centroids, adj=adj,

@@ -1,0 +1,111 @@
+"""The 10M-point headline protocol (t2i-shaped, 200-d MIPS), single chip.
+
+The reference's canonical run is a 10M build + L_pq sweep
+(``/root/reference/README.md:92-120``, ``run_roargraph_test.sh:5-9``) on a
+64-thread AVX-512 box. On TPU the scale-out design shards the base set
+(SURVEY §5.8 / dist.sharded): 8 shards of 1.25M, each an independent
+RoarGraph build — on a pod slice all 8 run concurrently (the SPMD program,
+mesh-validated every round); on this one-chip tunnel they run sequentially,
+so the 8-chip projected build wall is max(per-shard wall), which this script
+reports.
+
+Per shard: exact-scored approx-selected local train GT (``knn approx=True``
+— per-tile ``approx_min_k`` pre-selection, exact scores; order noise in the
+tail is the moral equivalent of the reference's thread-race
+nondeterminism), then the standard build (paper parameters M_sq=100,
+M_pjbp=35, L_pjpq=500). Every stage is cached/checkpointed under build/ so
+an interrupted run resumes.
+
+Usage: python scripts/build_10m.py [first_shard [last_shard]]
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench as benchmod  # noqa: E402
+
+N = int(os.environ.get("B10M_N", 10_000_000))
+N_TRAIN = int(os.environ.get("B10M_TRAIN", 5_000_000))
+N_EVAL = 8192
+D = int(os.environ.get("B10M_D", 200))
+SEED = 0
+S = int(os.environ.get("B10M_SHARDS", 8))
+TAG = os.environ.get("B10M_TAG", f"t2i{N // 1_000_000}m")
+
+first = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+last = int(sys.argv[2]) if len(sys.argv) > 2 else S - 1
+
+
+def main():
+    import jax.numpy as jnp
+
+    import roargraph_tpu as rt
+    from roargraph_tpu.build import build_roargraph
+    from roargraph_tpu.ops.topk import knn
+    from roargraph_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    t0 = time.time()
+    base, train_q, eval_q = benchmod.make_data(N, N_TRAIN, N_EVAL, D, SEED)
+    print(f"data: {time.time() - t0:.0f}s", flush=True)
+    n_s = (N + S - 1) // S
+    cfg = rt.BuildConfig(metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
+                         prune_batch=1024, search_batch=2048)
+    os.makedirs("build", exist_ok=True)
+
+    # exact eval groundtruth (recall measurement must never be approximate)
+    eval_gt = os.path.join("build", f"{TAG}_eval_gt.npz")
+    if not os.path.exists(eval_gt):
+        t0 = time.time()
+        gt_i, gt_d = knn(eval_q, jnp.asarray(base), k=100, metric="ip",
+                         query_batch=8192)
+        np.savez(eval_gt, ids=gt_i, dists=gt_d)
+        print(f"eval gt: {time.time() - t0:.0f}s", flush=True)
+
+    walls = {}
+    for s in range(first, last + 1):
+        lo, hi = s * n_s, min((s + 1) * n_s, N)
+        gpath = os.path.join("build", f"{TAG}_graph_shard{s}.npz")
+        if os.path.exists(gpath):
+            print(f"shard {s}: already built", flush=True)
+            continue
+        t_shard = time.time()
+        shard_dev = jnp.asarray(base[lo:hi])
+
+        gt_path = os.path.join("build", f"{TAG}_gt_shard{s}.npz")
+        if os.path.exists(gt_path):
+            with np.load(gt_path) as z:
+                train_ids = z["ids"]
+            print(f"shard {s}: cached local gt", flush=True)
+        else:
+            t0 = time.time()
+            train_ids, _ = knn(train_q, shard_dev, k=cfg.M_sq, metric="ip",
+                               query_batch=8192, approx=True)
+            np.savez(gt_path, ids=train_ids)
+            print(f"shard {s}: local gt {time.time() - t0:.0f}s", flush=True)
+
+        t0 = time.time()
+        ckpt = os.path.join("build", f"{TAG}_ckpt_shard{s}")
+        g, rep = build_roargraph(shard_dev, train_ids, cfg, verbose=True,
+                                 checkpoint_dir=ckpt)
+        g.save_npz(gpath)
+        walls[s] = time.time() - t_shard
+        print(f"shard {s}: build {time.time() - t0:.0f}s "
+              f"(total {walls[s]:.0f}s) stats={rep.stats}", flush=True)
+        del shard_dev
+
+    done = [s for s in range(S)
+            if os.path.exists(os.path.join("build",
+                                           f"{TAG}_graph_shard{s}.npz"))]
+    print(json.dumps({"tag": TAG, "shards_done": done,
+                      "per_shard_wall_s": walls}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

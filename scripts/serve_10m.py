@@ -1,0 +1,100 @@
+"""Serve + sweep a sharded-built large index (scripts/build_10m.py output)
+on one chip: assemble the union graph (per-shard adjacency + offsets),
+build/cache the global tile index (bf16), run the T sweep against the exact
+eval groundtruth, and report QPS at recall@10 >= 0.95.
+
+Usage: python scripts/serve_10m.py
+Env:   B10M_* as in build_10m.py; SERVE_TILE_C / SERVE_TILE_FILL;
+       SERVE_T  (comma list of T values)
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench as benchmod  # noqa: E402
+
+N = int(os.environ.get("B10M_N", 10_000_000))
+N_TRAIN = int(os.environ.get("B10M_TRAIN", 5_000_000))
+N_EVAL = 8192
+D = int(os.environ.get("B10M_D", 200))
+SEED = 0
+S = int(os.environ.get("B10M_SHARDS", 8))
+TAG = os.environ.get("B10M_TAG", f"t2i{N // 1_000_000}m")
+K = 10
+TARGET = 0.95
+
+
+def main():
+    import jax.numpy as jnp
+
+    from roargraph_tpu import eval as reval
+    from roargraph_tpu.graph import PAD, PaddedGraph
+    from roargraph_tpu.tiles import TileIndex, build_tiles, tile_search, upload
+    from roargraph_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    n_s = (N + S - 1) // S
+
+    t0 = time.time()
+    base, _, eval_q = benchmod.make_data(N, N_TRAIN, N_EVAL, D, SEED)
+    print(f"data: {time.time() - t0:.0f}s", flush=True)
+    with np.load(os.path.join("build", f"{TAG}_eval_gt.npz")) as z:
+        gt_ids = z["ids"][:, :K].astype(np.int64)
+
+    tile_C = int(os.environ.get("SERVE_TILE_C", 256))
+    fill = float(os.environ.get("SERVE_TILE_FILL", 0.7))
+    tpath = os.path.join("build", f"{TAG}_tiles{tile_C}.npz")
+    if os.path.exists(tpath):
+        tidx = TileIndex.load_npz(tpath)
+        print(f"loaded tile cache {tpath}", flush=True)
+    else:
+        # union graph: shard-local adjacencies offset into the global id
+        # space (cross-shard navigation comes from the global frontier init
+        # + centroid backstop edges; co-access aggregation is intra-shard)
+        graphs = []
+        for s in range(S):
+            g = PaddedGraph.load_npz(
+                os.path.join("build", f"{TAG}_graph_shard{s}.npz"))
+            graphs.append(g)
+        width = max(g.ids.shape[1] for g in graphs)
+        union = np.full((N, width), PAD, np.int32)
+        for s, g in enumerate(graphs):
+            lo = s * n_s
+            ids = g.ids
+            shifted = np.where(ids == PAD, PAD, ids + lo)
+            union[lo: lo + ids.shape[0], : ids.shape[1]] = shifted
+        ugraph = PaddedGraph(ids=union, ep=int(graphs[0].ep))
+        del graphs
+        t0 = time.time()
+        tidx = build_tiles(ugraph, base, cluster_size=tile_C, Mc=32,
+                           metric="ip", fill=fill)
+        print(f"tile build: {time.time() - t0:.0f}s "
+              f"K={tidx.num_clusters}", flush=True)
+        tidx.save_npz(tpath)
+    tidx = tidx.astype(jnp.bfloat16)
+    dev = upload(tidx)
+
+    T_values = [int(t) for t in os.environ.get(
+        "SERVE_T", "24,48,96,160,256,384").split(",")]
+
+    def tile_fn(T):
+        return tile_search(tidx, jnp.asarray(eval_q), k=K, T=T,
+                           Lc=max(2 * T, 16), metric="ip",
+                           batch_size=8192, device_arrays=dev)
+
+    rows = reval.sweep(tile_fn, T_values, gt_ids, k=K, metric="ip",
+                       n_queries=N_EVAL, verbose="stderr", raw=True,
+                       knob="T")
+    qps = reval.qps_at_recall(rows, TARGET)
+    print(json.dumps({"tag": TAG, "tile_qps_at_recall": qps,
+                      "rows": [[r["L_pq"], r["qps"], r["recall"]]
+                               for r in rows]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
