@@ -71,11 +71,12 @@ def main():
     base, train_q, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
     import jax.numpy as jnp
     if METRIC.needs_normalize:
-        # cosine = normalize-then-IP, the reference's load-time convention
-        from roargraph_tpu.ops.distance import normalize
-        base = np.asarray(normalize(base))
-        train_q = np.asarray(normalize(train_q))
-        eval_q = np.asarray(normalize(eval_q))
+        # cosine = normalize-then-IP, the reference's load-time convention.
+        # Host-side numpy (seconds) — routing multi-GB arrays through the
+        # device relay just to divide by row norms costs ~10 min/5 GB.
+        for arr in (base, train_q, eval_q):
+            np.divide(arr, np.linalg.norm(arr, axis=1, keepdims=True),
+                      out=arr)
     base_dev = jnp.asarray(base)  # single upload shared by gt/build/search
     eval_q = jnp.asarray(eval_q)  # ditto for the sweeps' query set
     cfg = rt.BuildConfig(

@@ -153,12 +153,17 @@ class TileIndex:
     - ``adj``       [K, Mc] int32 cluster adjacency (PAD-filled), built from
                     the RoarGraph's vector-level edges
     - ``ep``        int, entry cluster (cluster of the graph medoid)
+    - ``radii``     [K] f32 max member distance to centroid — the per-cluster
+                    term of the early-exit score bound
+                    (``score(q, x) >= s_centroid - |q| * R`` by
+                    Cauchy-Schwarz for IP/cosine; the L2 analog squares).
     """
     tiles: np.ndarray
     gids: np.ndarray
     centroids: np.ndarray
     adj: np.ndarray
     ep: int
+    radii: np.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:
@@ -169,15 +174,36 @@ class TileIndex:
         return self.tiles.shape[1]
 
     def save_npz(self, path: str) -> None:
+        extra = {} if self.radii is None else dict(radii=self.radii)
         np.savez_compressed(path, tiles=self.tiles, gids=self.gids,
                             centroids=self.centroids, adj=self.adj,
-                            ep=np.int64(self.ep))
+                            ep=np.int64(self.ep), **extra)
 
     @staticmethod
     def load_npz(path: str) -> "TileIndex":
         with np.load(path) as z:
             return TileIndex(z["tiles"], z["gids"], z["centroids"],
-                             z["adj"], int(z["ep"]))
+                             z["adj"], int(z["ep"]),
+                             radii=z["radii"] if "radii" in z else None)
+
+    def with_radii(self) -> "TileIndex":
+        """Compute ``radii`` from tiles/centroids if absent (old caches).
+        Chunked over clusters — the [K, C, D] f32 residual would be ~12 GB
+        at 10M shapes in one shot."""
+        if self.radii is not None:
+            return self
+        K = self.tiles.shape[0]
+        out = np.zeros(K, np.float32)
+        CH = max(1, (1 << 28) // max(self.tiles.shape[1]
+                                     * self.tiles.shape[2] * 4, 1))
+        for s in range(0, K, CH):
+            e = min(s + CH, K)
+            diff = (self.tiles[s:e].astype(np.float32)
+                    - self.centroids[s:e, None, :])
+            r = np.sqrt(np.maximum((diff * diff).sum(axis=2), 0))
+            r = np.where(self.gids[s:e] != PAD, r, 0.0)
+            out[s:e] = r.max(axis=1)
+        return dataclasses.replace(self, radii=out)
 
     def astype(self, dtype) -> "TileIndex":
         """Cast tile storage (e.g. bfloat16 halves scan bytes; scores then
@@ -362,7 +388,7 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
 
     ep = int(assign[graph.ep])
     return TileIndex(tiles=tiles, gids=gids, centroids=centroids, adj=adj,
-                     ep=ep)
+                     ep=ep).with_radii()
 
 
 # ---------------------------------------------------------------------------
@@ -405,7 +431,8 @@ def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl"))
+    static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
+                     "early_exit", "exit_slack"))
 def tile_search_batch(
     tiles_t: jnp.ndarray,    # [K, D_pad, C] transposed scan layout (upload())
     gids: jnp.ndarray,       # [K, C] int32
@@ -424,6 +451,21 @@ def tile_search_batch(
     valid_clusters: jnp.ndarray | None = None,  # scalar int32: clusters
                              # >= this are stacking padding (sharded layout)
                              # and must never enter the frontier queue
+    radii: jnp.ndarray | None = None,  # [K] f32 cluster radii (early exit)
+    early_exit: bool = False,  # adaptive termination: a query stops when no
+                             # queued unexpanded cluster's score BOUND
+                             # (s_centroid - slack*|q|*R; L2 analog squares)
+                             # can beat its current k-th result — the tile
+                             # analog of the reference's per-query
+                             # queue-exhaustion termination
+                             # (src/index_bipartite.cpp:2356). Easy queries
+                             # stop in a few hops; T becomes a cap.
+    exit_slack: float | None = None,  # bound tightness: 1.0 = the provable
+                             # worst-case Cauchy-Schwarz bound (rarely stops
+                             # — the residual is near-orthogonal to q in
+                             # high dim); None = auto min(1, 5/sqrt(D)):
+                             # residual projections concentrate around
+                             # |q|*R/sqrt(D), so ~5 sigma of margin remains
 ):
     """Lockstep tile search: a fixed ``T``-step fori_loop (static shapes, no
     data-dependent control flow), one MXU contraction per expanded cluster.
@@ -471,9 +513,29 @@ def tile_search_batch(
     qf = queries.astype(jnp.float32)
     qp = jnp.pad(qf, ((0, 0), (0, Dp - qf.shape[1])))  # zero-padded to D_pad
 
+    if early_exit and radii is None:
+        raise ValueError("early_exit tile search needs cluster radii "
+                         "(TileIndex.with_radii())")
+    if exit_slack is None:
+        exit_slack = min(1.0, 5.0 / float(np.sqrt(queries.shape[1])))
+
+    def eligible(q_d, q_i, q_e, rk_d):
+        unexp = (q_e == 0) & (q_i != BIG)
+        if not early_exit:
+            return unexp
+        Rg = exit_slack * radii[jnp.clip(q_i, 0, K - 1)]     # [B, Lc]
+        if metric is Metric.L2:
+            bnd = jnp.square(jnp.maximum(
+                jnp.sqrt(jnp.maximum(q_d, 0.0)) - Rg, 0.0))
+        else:
+            qn = jnp.sqrt(jnp.sum(qf * qf, axis=1))[:, None]
+            bnd = q_d - qn * Rg
+        # improvable set only shrinks (rk_d is monotone), so no livelock
+        return unexp & (bnd < rk_d[:, k - 1][:, None])
+
     def hop(t, state):
         q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops = state
-        unexp = (q_e == 0) & (q_i != BIG)
+        unexp = eligible(q_d, q_i, q_e, rk_d)
         active = jnp.any(unexp, axis=1)
         jj = jnp.argmax(unexp, axis=1)
         f = jnp.where(active, q_i[b_arange, jj], 0)
@@ -541,7 +603,19 @@ def tile_search_batch(
         return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops
 
     state = (q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops)
-    state = jax.lax.fori_loop(0, T, hop, state)
+    if early_exit:
+        # batch-level exit too: the loop ends when EVERY query has stopped
+        def w_cond(ts):
+            t, st = ts
+            return (t < T) & jnp.any(eligible(st[0], st[1], st[2], st[4]))
+
+        def w_body(ts):
+            t, st = ts
+            return t + 1, hop(t, st)
+
+        _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state))
+    else:
+        state = jax.lax.fori_loop(0, T, hop, state)
     _, _, _, _, rk_d, rk_i, cmps, hops = state
     out_i = jnp.where(rk_i == BIG, -1, rk_i)
     return out_i, rk_d, cmps, hops
@@ -549,9 +623,11 @@ def tile_search_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl"))
-def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms, *,
-                        k, T, Lc, metric, use_graph, scan_impl):
+    static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
+                     "early_exit", "exit_slack"))
+def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms,
+                        radii=None, *, k, T, Lc, metric, use_graph,
+                        scan_impl, early_exit=False, exit_slack=None):
     """tile_search_batch + on-device packing of the four results into ONE
     [B, 2k+2] int32 array (dists bitcast). The serving host fetches a single
     buffer per batch — through a high-RTT device relay, four separate D2H
@@ -559,7 +635,8 @@ def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms, *,
     from .search import pack_results
     ids, dists, cmps, hops = tile_search_batch(
         tiles_t, gids, centroids, adj, queries, norms, k=k, T=T, Lc=Lc,
-        metric=metric, use_graph=use_graph, scan_impl=scan_impl)
+        metric=metric, use_graph=use_graph, scan_impl=scan_impl,
+        radii=radii, early_exit=early_exit, exit_slack=exit_slack)
     return pack_results(ids, dists, cmps, hops)
 
 
@@ -567,7 +644,8 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
                 Lc: int | None = None, metric: Metric | str = Metric.IP,
                 use_graph: bool = True, batch_size: int = 2048,
                 device_arrays: tuple | None = None,
-                scan_impl: str = "auto"):
+                scan_impl: str = "auto", early_exit: bool = False,
+                exit_slack: float | None = None):
     """Host wrapper: loop device-sized query blocks; returns numpy
     (ids [Q, k], dists [Q, k], cmps [Q], hops [Q]).
 
@@ -583,6 +661,10 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
     tiles, gids, cents, adj, norms = device_arrays
     if scan_impl == "auto":
         scan_impl = "grouped"
+    radii_dev = None
+    if early_exit:
+        index = index.with_radii()
+        radii_dev = jnp.asarray(index.radii)
     # keep queries device-resident (a jnp input is NOT pulled back to host —
     # re-uploading the query set per sweep point costs more than a hop)
     queries = jnp.asarray(queries)
@@ -600,8 +682,10 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
         if e - s < Bsz:
             qb = jnp.pad(qb, ((0, Bsz - (e - s)), (0, 0)))
         res = _tile_search_packed(tiles, gids, cents, adj, qb,
-                                  norms, k=k, T=T, Lc=Lc, metric=metric,
-                                  use_graph=use_graph, scan_impl=scan_impl)
+                                  norms, radii_dev, k=k, T=T, Lc=Lc,
+                                  metric=metric, use_graph=use_graph,
+                                  scan_impl=scan_impl, early_exit=early_exit,
+                                  exit_slack=exit_slack)
         pending.append((s, e, res))
     from .search import unpack_results
     for s, e, res in pending:

@@ -136,3 +136,48 @@ def test_l2_metric(setup):
     ids, _, _, _ = tile_search(tidx, queries, k=10, T=16, Lc=32, metric="l2",
                                batch_size=256)
     assert recall(ids, gt_ids) > 0.8
+
+
+def test_early_exit_mechanics(setup):
+    """Early-exit mechanics: the bound knob trades hops for recall
+    monotonically, the auto (conservative) slack never loses recall, and an
+    aggressive slack measurably cuts expansions. (The equal-recall win shows
+    up once queries CONVERGE within T — the large-N serving regime measured
+    in bench.py — so this small fixture pins the machinery, not the
+    operating point.) L2 exercises the squared-bound variant."""
+    base, queries, graph, tidx, gt_ids = setup
+    T = 16
+    for metric, ti in (("ip", tidx),
+                       ("l2", build_tiles(graph, base, cluster_size=64,
+                                          Mc=8, metric="l2"))):
+        gt = knn(queries, base, k=10, metric=metric)[0]
+        ids_f, _, _, hops_f = tile_search(ti, queries, k=10, T=T, Lc=2 * T,
+                                          metric=metric)
+        r_f = recall(ids_f, gt)
+        prev_hops = 0.0
+        for slack in (0.0, 0.3, 1.0):
+            ids_a, _, _, hops_a = tile_search(
+                ti, queries, k=10, T=T, Lc=2 * T, metric=metric,
+                early_exit=True, exit_slack=slack)
+            assert hops_a.mean() >= prev_hops - 1e-9
+            prev_hops = hops_a.mean()
+            if slack == 0.0:
+                # kth-result-vs-centroid-score cut: must stop early
+                assert hops_a.mean() < hops_f.mean()
+            if slack == 1.0:
+                # the provable bound can only skip provably useless scans
+                assert recall(ids_a, gt) >= r_f - 1e-9
+
+
+def test_with_radii_bounds_members(setup):
+    """Every member's distance to its centroid is within the stored radius
+    (the early-exit bound's correctness condition)."""
+    _, _, _, tidx, _ = setup
+    ti = tidx.with_radii()
+    for kk in range(ti.num_clusters):
+        m = ti.gids[kk] != PAD
+        if not m.any():
+            continue
+        d = np.linalg.norm(ti.tiles[kk][m].astype(np.float32)
+                           - ti.centroids[kk], axis=1)
+        assert (d <= ti.radii[kk] + 1e-4).all()
