@@ -170,8 +170,26 @@ def main():
         f"K={tidx.num_clusters}; column 1 is T = clusters scanned):")
     tile_rows = reval.sweep(tile_fn, T_values, gt_ids, k=K,
                             metric=METRIC, n_queries=N_EVAL,
-                            verbose="stderr", raw=True)
+                            verbose="stderr", raw=True, knob="T")
     tile_qps = reval.qps_at_recall(tile_rows, TARGET)
+
+    # --- adaptive early-exit sweep (T becomes a cap; easy queries stop
+    # when no queued cluster's score bound beats their k-th result) ------
+    tile_adaptive_qps = None
+    if N >= 500_000 or os.environ.get("BENCH_TILE_ADAPTIVE"):
+        tidx_r = tidx.with_radii()  # once — not per sweep point
+
+        def tile_ee_fn(T):
+            return tile_search(tidx_r, eval_q, k=K, T=T,
+                               Lc=max(2 * T, 16), metric=METRIC,
+                               batch_size=batch, device_arrays=tile_dev,
+                               early_exit=True)
+
+        log("tile sweep (adaptive early-exit; column 1 is the T cap):")
+        tile_ee_rows = reval.sweep(tile_ee_fn, T_values, gt_ids, k=K,
+                                   metric=METRIC, n_queries=N_EVAL,
+                                   verbose="stderr", raw=True, knob="T")
+        tile_adaptive_qps = reval.qps_at_recall(tile_ee_rows, TARGET)
 
     # --- streaming throughput at the operating point -------------------
     # The reference's protocol keeps 16 threads saturated for the whole
@@ -206,16 +224,22 @@ def main():
 
     # --- flat engine sweeps: reference-parity (medoid start) + seeded ---
     bucket = max(L_values)  # one compiled program serves the whole sweep
+    # BENCH_FLAT_DTYPE=bfloat16: halve the flat engine's vector-gather
+    # bytes + HBM footprint (scores still accumulate f32; ids/cmps/hops
+    # semantics unchanged, dists carry bf16 quantization)
+    flat_base = base_dev
+    if os.environ.get("BENCH_FLAT_DTYPE", "float32") != "float32":
+        flat_base = base_dev.astype(jnp2.bfloat16)
 
     def tpu_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
                              batch_size=batch, L_bucket=bucket)
-        return search(graph, base_dev, eval_q, c2)
+        return search(graph, flat_base, eval_q, c2)
 
     def tpu_seeded_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
                              batch_size=batch, n_seeds=8, L_bucket=bucket)
-        return search(graph, base_dev, eval_q, c2, seeds=sidx)
+        return search(graph, flat_base, eval_q, c2, seeds=sidx)
 
     # The device degrades within long processes (tunnel tenancy); run the
     # stronger seeded mode first so it gets the fast phase.
@@ -260,6 +284,8 @@ def main():
         "tile_qps": round(tile_qps, 1) if tile_qps else None,
         "tile_stream_qps": (round(tile_stream_qps, 1)
                             if tile_stream_qps else None),
+        "tile_adaptive_qps": (round(tile_adaptive_qps, 1)
+                              if tile_adaptive_qps else None),
         "tile_config": f"C{tidx.cluster_size}_{tile_dtype}",
         "tpu_medoid_qps": round(tpu_plain_qps, 1) if tpu_plain_qps else None,
         "tpu_seeded_qps": round(tpu_seeded_qps, 1) if tpu_seeded_qps else None,

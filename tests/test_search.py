@@ -363,3 +363,20 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(bd.view(np.int32), dists.view(np.int32))
     np.testing.assert_array_equal(bc, cmps)
     np.testing.assert_array_equal(bh, hops)
+
+
+def test_bf16_base_search_recall(rng):
+    """bf16 base vectors (half the gather bytes/HBM) must preserve search
+    quality: same graph, near-identical recall; ids mostly agree with f32."""
+    n, dim = 400, 24
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 7)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((100, dim)).astype(np.float32)
+    cfg = SearchConfig(k=10, L_pq=40, metric=Metric.IP, batch_size=128)
+    f32 = rsearch.search(g, base, queries, cfg)
+    b16 = rsearch.search(g, jnp.asarray(base).astype(jnp.bfloat16),
+                         queries, cfg)
+    overlap = np.mean([len(set(f32[0][i]) & set(b16[0][i])) / 10
+                       for i in range(100)])
+    assert overlap > 0.9, overlap
