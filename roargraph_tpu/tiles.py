@@ -660,7 +660,15 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
         device_arrays = upload(index)
     tiles, gids, cents, adj, norms = device_arrays
     if scan_impl == "auto":
-        scan_impl = "grouped"
+        # grouped scan is the fastest measured per-hop path while its
+        # [G, nq, C]/[G, nq, Dp] staging buffers stay modest; at large K
+        # (10M-scale: K ~ 56k) they would be multi-GB, and with B << K
+        # grouping has nothing to share anyway — fall back to the plain
+        # per-query gather+dot
+        K_, Dp_, C_ = tiles.shape
+        G_ = K_ + max(batch_size // 64, 1)
+        scan_impl = ("grouped"
+                     if G_ * 64 * max(Dp_, C_) * 4 <= (1 << 30) else "xla")
     radii_dev = None
     if early_exit:
         index = index.with_radii()
