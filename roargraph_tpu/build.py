@@ -471,7 +471,7 @@ def phase_b_schedule(N: int, B: int, *, ramp_from: int = 16):
 
 def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
                           proj_i: np.ndarray, checkpoint_dir: str | None = None,
-                          checkpoint_every: int = 50):
+                          checkpoint_secs: float = 300.0):
     """Per base node: beam-search the supply graph from the medoid, then
     occlusion-prune the expanded set into the node's new supply out-list
     (``SearchProjectionGraphInternal:1279-1350`` +
@@ -523,6 +523,7 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     proj_i_dev = jnp.asarray(proj_i)
     max_hops = 16 * L + 64
     batches_done = 0
+    last_ckpt = time.perf_counter()
     base_prune_chunk = min(cfg.prune_batch, 256)
 
     for s, e, b in phase_b_schedule(N, B):
@@ -558,12 +559,16 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
         if batches_done % 100 == 0 and N > 4 * B:
             import sys
             print(f"phase B: {e}/{N}", flush=True, file=sys.stderr)
-        if ckpt and batches_done % checkpoint_every == 0:
+        # time-based checkpoint cadence: the state is O(N) (1.4 GB at 2.5M)
+        # and a fixed every-k-batches write was measured at ~40% of phase-B
+        # wall once the batches themselves got fast
+        if ckpt and time.perf_counter() - last_ckpt > checkpoint_secs:
             tmp = ckpt[:-4] + "_tmp.npz"
             np.savez(tmp[:-4], supply_i=np.asarray(supply_i_dev),
                      supply_d=np.asarray(supply_d_dev),
                      deg=np.asarray(deg_dev), next=np.int64(e))
             os.replace(tmp, ckpt)
+            last_ckpt = time.perf_counter()
     if ckpt and os.path.exists(ckpt):
         os.remove(ckpt)
     # np.array (not asarray): device views are read-only and the final

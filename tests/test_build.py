@@ -108,7 +108,7 @@ def test_build_checkpoint_resume(tmp_path, rng):
     calls = {"n": 0}
 
     def interrupting(*a, **kw):
-        kw["checkpoint_every"] = 1
+        kw["checkpoint_secs"] = 0.0  # checkpoint after every batch
 
         class Boom(Exception):
             pass
