@@ -512,10 +512,16 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
             if checkpoint_dir else None)
     if ckpt and os.path.exists(ckpt):
         with np.load(ckpt) as z:
-            supply_i, supply_d = z["supply_i"], z["supply_d"]
-            deg = z["deg"].astype(np.int32)
-            start = int(z["next"])
-        print(f"resuming phase B at node {start}/{N} from {ckpt}")
+            if z["supply_i"].shape == supply_i.shape:
+                supply_i, supply_d = z["supply_i"], z["supply_d"]
+                deg = z["deg"].astype(np.int32)
+                start = int(z["next"])
+                print(f"resuming phase B at node {start}/{N} from {ckpt}")
+            else:
+                import sys
+                print(f"ignoring stale phase-B checkpoint {ckpt} (shape "
+                      f"{z['supply_i'].shape} != {supply_i.shape})",
+                      file=sys.stderr)
 
     supply_i_dev = jnp.asarray(supply_i)
     supply_d_dev = jnp.asarray(supply_d)
@@ -651,12 +657,22 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
               if checkpoint_dir else None)
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
+    resumed_a = False
     if ckpt_a and os.path.exists(ckpt_a):
         with np.load(ckpt_a) as z:
             adj_i, adj_d = z["adj_i"], z["adj_d"]
-        if verbose:
-            print(f"resumed phase A from {ckpt_a}")
-    else:
+        if adj_i.shape == (N, cfg.M_pjbp):
+            resumed_a = True
+            if verbose:
+                print(f"resumed phase A from {ckpt_a}")
+        else:
+            # a checkpoint from a different (N, M_pjbp) config — a blind
+            # resume would corrupt the build; recompute instead
+            import sys
+            print(f"ignoring stale phase-A checkpoint {ckpt_a} "
+                  f"(shape {adj_i.shape} != {(N, cfg.M_pjbp)})",
+                  file=sys.stderr)
+    if not resumed_a:
         if phase_a is not None:
             adj_i, adj_d = np.array(phase_a[0]), np.array(phase_a[1])
         else:

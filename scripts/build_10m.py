@@ -55,8 +55,13 @@ def main():
     base, train_q, eval_q = benchmod.make_data(N, N_TRAIN, N_EVAL, D, SEED)
     print(f"data: {time.time() - t0:.0f}s", flush=True)
     n_s = (N + S - 1) // S
-    cfg = rt.BuildConfig(metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
-                         prune_batch=1024, search_batch=2048)
+    cfg = rt.BuildConfig(
+        metric="ip",
+        M_sq=int(os.environ.get("B10M_MSQ", 100)),
+        M_pjbp=int(os.environ.get("B10M_MPJBP", 35)),
+        L_pjpq=int(os.environ.get("B10M_LPJPQ", 500)),
+        prune_batch=1024,
+        search_batch=int(os.environ.get("B10M_SEARCH_BATCH", 2048)))
     os.makedirs("build", exist_ok=True)
 
     # exact eval groundtruth (recall measurement must never be approximate)
