@@ -126,8 +126,11 @@ def main():
     if os.path.exists(seed_cache) and not os.environ.get("BENCH_FRESH"):
         sidx = SeedIndex.load_npz(seed_cache)
     else:
-        sidx = build_seeds(base, n_centroids=max(256, N // 64), iters=4,
-                           metric=METRIC)
+        # device array reused (no second HBM copy of base); centroid count
+        # capped — past ~32k the seed sweep matmul cost outgrows the hop
+        # savings and k-means itself becomes the bench bottleneck
+        sidx = build_seeds(base_dev, n_centroids=min(32_768, max(256, N // 64)),
+                           iters=4, metric=METRIC)
         sidx.save_npz(seed_cache)
     log(f"seed quantizer: {sidx.seed_ids.size} representatives")
 

@@ -41,47 +41,51 @@ def _assign_chunk(n: int, n_centroids: int) -> int:
     """Chunk so the [chunk, C] score block stays ~256 MB (the full [N, C]
     block is 62 GB at N=1M, C=15k — far past HBM)."""
     c = max(1024, (1 << 26) // max(n_centroids, 1))
-    c = min(c, max(n, 1))
-    return -(-n // -(-n // c))  # even chunking: ceil(n / ceil(n/c))
+    return min(c, max(n, 1))
 
 
-@functools.partial(jax.jit, static_argnames=("n_centroids", "iters"))
-def _kmeans(base, key, *, n_centroids, iters):
+def _chunk_schedule(n: int, chunk: int):
+    """Offsets + first-fresh-row thresholds covering [0, n) with in-place
+    slices (no padded copy of the base array — that copy is 5 GB at the
+    2.5M/512-d scale and was the OOM at exactly the N this chunking exists
+    for). The final slice starts at n-chunk and overlaps the previous one;
+    rows below its threshold are already-processed and get masked out."""
+    G = -(-n // chunk)
+    offs = [min(i * chunk, n - chunk) for i in range(G)]
+    thresh = [i * chunk for i in range(G)]
+    return (jnp.asarray(offs, jnp.int32), jnp.asarray(thresh, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_centroids", "iters", "chunk"))
+def _kmeans(base, key, *, n_centroids, iters, chunk):
     """Lloyd's k-means (L2) on device; returns centroids [C, D].
 
-    Assignment is chunked over base rows (``lax.map``): each chunk scores
-    [chunk, C] on the MXU, then scatter-adds its members into per-centroid
-    sums — memory stays O(chunk * C) regardless of N."""
+    Assignment is chunked over base rows via in-place dynamic slices: each
+    chunk scores [chunk, C] on the MXU, then scatter-adds its members into
+    per-centroid sums accumulated in a scan carry — peak memory stays
+    O(chunk * C + C * D) regardless of N, with no full-size temporary."""
     n, d_dim = base.shape
     idx = jax.random.choice(key, n, (n_centroids,), replace=False)
     centroids = base[idx]
-    chunk = _assign_chunk(n, n_centroids)
-    pad = (-n) % chunk
-    basep = jnp.pad(base, ((0, pad), (0, 0)))
-    valid = jnp.arange(n + pad) < n
-    G = (n + pad) // chunk
-    bs = basep.reshape(G, chunk, d_dim)
-    vs = valid.reshape(G, chunk)
+    offs, thresh = _chunk_schedule(n, chunk)
 
     def step(centroids, _):
-        # Accumulate sums/counts in a scan carry (not lax.map, whose stacked
-        # outputs would materialize [G, C, D] before the reduce — ~45 GB at
-        # the 2.5M/C=39k scale this chunking exists for). Peak memory stays
-        # O(chunk * C + C * D).
         def one(carry, args):
             sums, counts = carry
-            xc, vc = args
+            off, th = args
+            xc = jax.lax.dynamic_slice_in_dim(base, off, chunk)
+            fresh = (off + jnp.arange(chunk, dtype=jnp.int32)) >= th
             d = pairwise_scores(xc, centroids, Metric.L2,
                                 precision=jax.lax.Precision.DEFAULT)
             a = jnp.argmin(d, axis=1)
-            a = jnp.where(vc, a, n_centroids)  # pad rows scatter-drop
+            a = jnp.where(fresh, a, n_centroids)  # overlap rows scatter-drop
             sums = sums.at[a].add(xc, mode="drop")
             counts = counts.at[a].add(1.0, mode="drop")
             return (sums, counts), None
 
         init = (jnp.zeros((n_centroids, d_dim), base.dtype),
                 jnp.zeros((n_centroids,), base.dtype))
-        (sums, counts), _ = jax.lax.scan(one, init, (bs, vs))
+        (sums, counts), _ = jax.lax.scan(one, init, (offs, thresh))
         counts = counts[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
         return new, None
@@ -90,26 +94,21 @@ def _kmeans(base, key, *, n_centroids, iters):
     return centroids
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _nearest_member(base, cents):
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _nearest_member(base, cents, *, chunk):
     """argmin_{x in base} L2(x, c) per centroid, chunked over base rows."""
     n, d_dim = base.shape
     C = cents.shape[0]
-    chunk = _assign_chunk(n, C)
-    pad = (-n) % chunk
-    basep = jnp.pad(base, ((0, pad), (0, 0)))
-    valid = jnp.arange(n + pad) < n
-    G = (n + pad) // chunk
-    bs = basep.reshape(G, chunk, d_dim)
-    vs = valid.reshape(G, chunk)
-    offs = jnp.arange(G, dtype=jnp.int32) * chunk
+    offs, thresh = _chunk_schedule(n, chunk)
 
     def one(carry, args):
         bd, bi = carry
-        xc, vc, off = args
+        off, th = args
+        xc = jax.lax.dynamic_slice_in_dim(base, off, chunk)
+        fresh = (off + jnp.arange(chunk, dtype=jnp.int32)) >= th
         d = pairwise_scores(cents, xc, Metric.L2,
                             precision=jax.lax.Precision.DEFAULT)  # [C, chunk]
-        d = jnp.where(vc[None, :], d, jnp.inf)
+        d = jnp.where(fresh[None, :], d, jnp.inf)
         m = jnp.argmin(d, axis=1)
         md = jnp.take_along_axis(d, m[:, None], axis=1)[:, 0]
         upd = md < bd
@@ -117,24 +116,37 @@ def _nearest_member(base, cents):
                 jnp.where(upd, off + m.astype(jnp.int32), bi)), None
 
     init = (jnp.full((C,), jnp.inf, jnp.float32), jnp.zeros((C,), jnp.int32))
-    (bd, bi), _ = jax.lax.scan(one, init, (bs, vs, offs))
+    (bd, bi), _ = jax.lax.scan(one, init, (offs, thresh))
     return bi
 
 
 def build_seeds(base, *, n_centroids: int = 1024, iters: int = 5,
-                metric: Metric | str = Metric.IP, seed: int = 0) -> SeedIndex:
+                metric: Metric | str = Metric.IP, seed: int = 0,
+                train_subsample: int = 2_000_000) -> SeedIndex:
     """Cluster the base set and pick one representative data point per
-    centroid (the member closest to it in L2)."""
-    base = np.asarray(base)
+    centroid (the member closest to it in L2).
+
+    ``base`` may be a numpy array or an already-device-resident jax array —
+    the latter avoids a second multi-GB HBM copy at large N. Centroids are
+    trained on at most ``train_subsample`` rows (Lloyd's converges on a
+    uniform subsample; the representative pass still scans every row)."""
     n = base.shape[0]
     n_centroids = min(n_centroids, n)
-    base_dev = jnp.asarray(base)
-    cents = _kmeans(base_dev, jax.random.PRNGKey(seed),
-                    n_centroids=n_centroids, iters=iters)
+    base_dev = base if isinstance(base, jax.Array) else jnp.asarray(base)
+    if n > train_subsample:
+        stride = -(-n // train_subsample)
+        train = base_dev[::stride]
+    else:
+        train = base_dev
+    cents = _kmeans(train, jax.random.PRNGKey(seed),
+                    n_centroids=n_centroids, iters=iters,
+                    chunk=_assign_chunk(train.shape[0], n_centroids))
     # representative = argmin_{x in base} L2(x, centroid), chunked over base
-    reps = np.asarray(_nearest_member(base_dev, cents)).astype(np.int64)
-    reps = np.unique(reps)
-    return SeedIndex(seed_ids=reps.astype(np.int32), seed_vecs=base[reps])
+    reps = np.asarray(_nearest_member(base_dev, cents,
+                                      chunk=_assign_chunk(n, n_centroids)))
+    reps = np.unique(reps.astype(np.int64))
+    seed_vecs = np.asarray(base_dev[reps])  # fetch only the C chosen rows
+    return SeedIndex(seed_ids=reps.astype(np.int32), seed_vecs=seed_vecs)
 
 
 @functools.partial(jax.jit, static_argnames=("n_seeds", "metric"))
