@@ -61,6 +61,11 @@ def main():
     graph = rt.PaddedGraph.load_npz(cache)
     base, _, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
     base_dev = jnp.asarray(base)
+    # SWEEP_DTYPE=bfloat16 halves the engine's gather bytes/HBM footprint
+    # (scores still accumulate f32; ids/cmps/hops semantics unchanged)
+    search_base = base_dev
+    if os.environ.get("SWEEP_DTYPE", "float32") != "float32":
+        search_base = base_dev.astype(jnp.bfloat16)
     eval_q = jnp.asarray(eval_q)
     gt_ids, gt_dists = knn(eval_q, base_dev, k=K, metric="ip")
     # gt dists in the reference's stored convention (raw IP, positive):
@@ -79,7 +84,7 @@ def main():
         bucket = next((b for b in buckets if c.L_pq <= b), c.L_pq)
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
                              batch_size=batch, L_bucket=bucket)
-        return search(graph, base_dev, eval_q, c2)
+        return search(graph, search_base, eval_q, c2)
 
     t0 = time.time()
     rows = reval.sweep(fn, sweep_l, np.asarray(gt_ids), k=K,
