@@ -61,12 +61,17 @@ def knn_tiled(
     order noise is equivalent to the reference's thread-race
     nondeterminism), never for eval groundtruth."""
     n = base.shape[0]
+    tile = min(tile, n)
     num_tiles = (n + tile - 1) // tile
-    padded_n = num_tiles * tile
-    if padded_n != n:
-        pad = jnp.full((padded_n - n, base.shape[1]), jnp.inf, base.dtype)
-        base = jnp.concatenate([base, pad], axis=0)
-    base_tiles = base.reshape(num_tiles, tile, base.shape[1])
+    # In-place slice schedule: tiles start at i*tile except the last, which
+    # starts at n-tile and overlaps its predecessor; overlap rows (global
+    # index below the tile's threshold) are masked to +inf so no id enters
+    # the merge twice. This replaces a pad-to-multiple copy of the whole
+    # base — at the 10M x 200 GT call that copy was a second 9.5 GB HBM
+    # allocation and an OOM.
+    offs = jnp.asarray([min(i * tile, n - tile) for i in range(num_tiles)],
+                       jnp.int32)
+    thresh = jnp.asarray([i * tile for i in range(num_tiles)], jnp.int32)
 
     q = queries.shape[0]
     init_d = jnp.full((q, k), jnp.inf, jnp.float32)
@@ -74,13 +79,16 @@ def knn_tiled(
 
     def step(carry, inp):
         run_d, run_i = carry
-        tile_idx, tile_vecs = inp
+        off, th = inp
+        tile_vecs = jax.lax.dynamic_slice_in_dim(base, off, tile)
         scores = pairwise_scores(queries, tile_vecs, metric, precision=precision)
         # Padding rows contain inf; inf*0 in dots would make nan — mask any
-        # non-finite score to +inf so it never wins.
-        scores = jnp.where(jnp.isfinite(scores), scores, jnp.inf)
-        ids = tile_idx * tile + jax.lax.broadcasted_iota(
-            jnp.int32, (q, tile), 1)
+        # non-finite score to +inf so it never wins. Overlap rows of the
+        # final tile likewise.
+        fresh = (off + jnp.arange(tile, dtype=jnp.int32)) >= th
+        scores = jnp.where(jnp.isfinite(scores) & fresh[None, :], scores,
+                           jnp.inf)
+        ids = off + jax.lax.broadcasted_iota(jnp.int32, (q, tile), 1)
         if approx:
             # per-tile candidate pre-selection via PartialReduce, then an
             # exact (k + k)-wide merge into the running top-k
@@ -89,9 +97,7 @@ def knn_tiled(
             return _merge_topk(run_d, run_i, cd, ids, k), None
         return _merge_topk(run_d, run_i, scores, ids, k), None
 
-    (out_d, out_i), _ = jax.lax.scan(
-        step, (init_d, init_i),
-        (jnp.arange(num_tiles, dtype=jnp.int32), base_tiles))
+    (out_d, out_i), _ = jax.lax.scan(step, (init_d, init_i), (offs, thresh))
     return out_i, out_d
 
 

@@ -243,8 +243,11 @@ def _balanced_assign(base: np.ndarray, n_clusters: int, cap: int, *,
         train = base[np.sort(sel)]
     else:
         train = base
+    from .ops.seeds import _assign_chunk
     cents = np.asarray(_kmeans(jnp.asarray(train), jax.random.PRNGKey(seed),
-                               n_centroids=n_clusters, iters=iters))
+                               n_centroids=n_clusters, iters=iters,
+                               chunk=_assign_chunk(train.shape[0],
+                                                   n_clusters)))
     n_choices = min(n_choices, n_clusters)
     # per-point closest centroids (tiled on device); at large N use bf16
     # multiplies + per-tile approx selection — assignment choices tolerate
