@@ -111,29 +111,40 @@ def knn(
     query_batch: int = 4096,
     precision=Precision.HIGHEST,
     approx: bool = False,
+    return_dists: bool = True,
 ):
     """Host-facing exact k-NN: loops query batches on the host (each batch is
     one jitted TPU sweep over the full base, dispatched ahead so device work
     overlaps the result fetches). Returns numpy
     (ids ``[Q, k]`` uint32, scores ``[Q, k]`` f32).
 
+    ``queries`` may be a device-resident ``jax.Array``: batches are then
+    sliced on device instead of re-uploaded per batch — through a high-RTT
+    device relay the per-batch H2D uploads otherwise dominate the whole
+    sweep (4 GB per 5M-query GT call at D=200). ``return_dists=False``
+    additionally skips the D2H fetch of the score halves (the build consumes
+    only ids, matching the reference's ``README.md:64`` note) and returns
+    ``(ids, None)``.
+
     This is the drop-in replacement for the DiskANN ``compute_groundtruth``
     pipeline step (``README.md:69-74``): write its output with
     :func:`roargraph_tpu.io.save_gt` to get a bit-compatible gt file.
     ``approx`` — see :func:`knn_tiled`."""
     metric = Metric.parse(metric)
-    queries = np.asarray(queries)
+    dev_q = isinstance(queries, jax.Array)
+    if not dev_q:
+        queries = np.asarray(queries)
     base_dev = jnp.asarray(base)
     q = queries.shape[0]
     out_ids = np.empty((q, k), dtype=np.uint32)
-    out_d = np.empty((q, k), dtype=np.float32)
+    out_d = np.empty((q, k), dtype=np.float32) if return_dists else None
     pending = []
 
     def _drain(item):
         s, e, ids, d = item
-        ids, d = np.asarray(ids)[: e - s], np.asarray(d)[: e - s]
-        out_ids[s:e] = ids.astype(np.uint32)
-        out_d[s:e] = d
+        out_ids[s:e] = np.asarray(ids)[: e - s].astype(np.uint32)
+        if return_dists:
+            out_d[s:e] = np.asarray(d)[: e - s]
 
     # Bounded pipeline depth: dispatch ahead so device work overlaps result
     # fetches, but drain the oldest pending batch past a small window so the
@@ -146,9 +157,14 @@ def knn(
         qb = queries[s:e]
         if e - s < query_batch and q > query_batch:
             pad = query_batch - (e - s)
-            qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
-        ids, d = knn_tiled(jnp.asarray(qb), base_dev, k=k, metric=metric,
-                           tile=tile, precision=precision, approx=approx)
+            if dev_q:
+                qb = jnp.pad(qb, ((0, pad), (0, 0)))
+            else:
+                qb = np.concatenate(
+                    [qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
+        ids, d = knn_tiled(qb if dev_q else jnp.asarray(qb), base_dev, k=k,
+                           metric=metric, tile=tile, precision=precision,
+                           approx=approx)
         pending.append((s, e, ids, d))
         if len(pending) > window:
             _drain(pending.pop(0))

@@ -54,6 +54,7 @@ def main():
     t0 = time.time()
     base, train_q, eval_q = benchmod.make_data(N, N_TRAIN, N_EVAL, D, SEED)
     print(f"data: {time.time() - t0:.0f}s", flush=True)
+    train_dev = None  # uploaded once, lazily (only if some shard needs GT)
     n_s = (N + S - 1) // S
     cfg = rt.BuildConfig(
         metric="ip",
@@ -90,8 +91,13 @@ def main():
             print(f"shard {s}: cached local gt", flush=True)
         else:
             t0 = time.time()
-            train_ids, _ = knn(train_q, shard_dev, k=cfg.M_sq, metric="ip",
-                               query_batch=8192, approx=True)
+            if train_dev is None:
+                # one 4 GB upload shared by every shard's GT — per-batch
+                # H2D re-uploads dominate the sweep through the relay
+                train_dev = jnp.asarray(train_q)
+            train_ids, _ = knn(train_dev, shard_dev, k=cfg.M_sq, metric="ip",
+                               query_batch=8192, approx=True,
+                               return_dists=False)
             np.savez(gt_path, ids=train_ids)
             print(f"shard {s}: local gt {time.time() - t0:.0f}s", flush=True)
 
