@@ -43,6 +43,22 @@ def make_data(n, n_train, n_eval, d, seed):
     return base, queries[:n_train], queries[n_train:]
 
 
+def make_data_cached(n, n_train, n_eval, d, seed, tag):
+    """make_data with an on-disk .npy cache (mmap on reload): regenerating
+    the 10M set costs ~10 min of single-core RNG per process launch, which
+    every build/serve restart would otherwise repay."""
+    paths = {k: os.path.join("build", f"{tag}_{k}.npy")
+             for k in ("base", "train", "eval")}
+    if all(os.path.exists(p) for p in paths.values()):
+        return tuple(np.load(paths[k], mmap_mode="r")
+                     for k in ("base", "train", "eval"))
+    base, train_q, eval_q = make_data(n, n_train, n_eval, d, seed)
+    os.makedirs("build", exist_ok=True)
+    for k, arr in (("base", base), ("train", train_q), ("eval", eval_q)):
+        np.save(paths[k], arr)
+    return base, train_q, eval_q
+
+
 def main():
     t_start = time.time()
     N = int(os.environ.get("BENCH_N", 100_000))

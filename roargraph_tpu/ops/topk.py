@@ -101,6 +101,44 @@ def knn_tiled(
     return out_i, out_d
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile", "query_batch", "precision",
+                     "approx"))
+def knn_device(
+    queries: jnp.ndarray,  # [Q, D] device-resident; Q % query_batch == 0
+    base: jnp.ndarray,     # [N, D] device-resident
+    *,
+    k: int,
+    metric: Metric,
+    tile: int = 8192,
+    query_batch: int = 8192,
+    precision=Precision.HIGHEST,
+    approx: bool = False,
+):
+    """Whole-sweep k-NN as ONE dispatch: an outer ``lax.scan`` over query
+    batches around :func:`knn_tiled`'s base-tile scan. Through a high-RTT
+    device relay the per-batch host loop in :func:`knn` pays hundreds of
+    round-trips per GT call (~30 min per 5M-query shard at 10M scale);
+    this runs the identical computation device-side and returns device
+    arrays (ids [Q, k] int32, dists [Q, k] f32) fetched by the caller in
+    one transfer."""
+    q, d_dim = queries.shape
+    if q % query_batch:
+        raise ValueError(f"Q={q} must be a multiple of query_batch="
+                         f"{query_batch} (pad the query set)")
+    nb = q // query_batch
+    qs = queries.reshape(nb, query_batch, d_dim)
+
+    def step(_, qb):
+        ids, dists = knn_tiled(qb, base, k=k, metric=metric, tile=tile,
+                               precision=precision, approx=approx)
+        return _, (ids, dists)
+
+    _, (ids, dists) = jax.lax.scan(step, None, qs)
+    return (ids.reshape(q, k), dists.reshape(q, k))
+
+
 def knn(
     queries,
     base,
@@ -136,6 +174,18 @@ def knn(
         queries = np.asarray(queries)
     base_dev = jnp.asarray(base)
     q = queries.shape[0]
+    if dev_q:
+        # device-resident queries: the whole sweep is ONE dispatch and one
+        # result fetch (see knn_device) — the host-batched loop below costs
+        # per-batch relay round-trips
+        qpad = (-q) % query_batch
+        qd = (jnp.pad(queries, ((0, qpad), (0, 0))) if qpad else queries)
+        ids, d = knn_device(qd, base_dev, k=k, metric=metric, tile=tile,
+                            query_batch=min(query_batch, qd.shape[0]),
+                            precision=precision, approx=approx)
+        out_ids = np.asarray(ids[:q]).astype(np.uint32)
+        out_d = np.asarray(d[:q]) if return_dists else None
+        return out_ids, out_d
     out_ids = np.empty((q, k), dtype=np.uint32)
     out_d = np.empty((q, k), dtype=np.float32) if return_dists else None
     pending = []
@@ -157,14 +207,9 @@ def knn(
         qb = queries[s:e]
         if e - s < query_batch and q > query_batch:
             pad = query_batch - (e - s)
-            if dev_q:
-                qb = jnp.pad(qb, ((0, pad), (0, 0)))
-            else:
-                qb = np.concatenate(
-                    [qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
-        ids, d = knn_tiled(qb if dev_q else jnp.asarray(qb), base_dev, k=k,
-                           metric=metric, tile=tile, precision=precision,
-                           approx=approx)
+            qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), qb.dtype)])
+        ids, d = knn_tiled(jnp.asarray(qb), base_dev, k=k, metric=metric,
+                           tile=tile, precision=precision, approx=approx)
         pending.append((s, e, ids, d))
         if len(pending) > window:
             _drain(pending.pop(0))

@@ -41,7 +41,8 @@ def main():
     n_s = (N + S - 1) // S
 
     t0 = time.time()
-    base, _, eval_q = benchmod.make_data(N, N_TRAIN, N_EVAL, D, SEED)
+    base, _, eval_q = benchmod.make_data_cached(N, N_TRAIN, N_EVAL, D, SEED,
+                                               TAG)
     print(f"data: {time.time() - t0:.0f}s", flush=True)
     with np.load(os.path.join("build", f"{TAG}_eval_gt.npz")) as z:
         gt_ids = z["ids"][:, :K].astype(np.int64)
