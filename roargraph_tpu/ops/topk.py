@@ -104,7 +104,7 @@ def knn_tiled(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "tile", "query_batch", "precision",
-                     "approx"))
+                     "approx", "return_dists"))
 def knn_device(
     queries: jnp.ndarray,  # [Q, D] device-resident; Q % query_batch == 0
     base: jnp.ndarray,     # [N, D] device-resident
@@ -115,6 +115,7 @@ def knn_device(
     query_batch: int = 8192,
     precision=Precision.HIGHEST,
     approx: bool = False,
+    return_dists: bool = True,
 ):
     """Whole-sweep k-NN as ONE dispatch: an outer ``lax.scan`` over query
     batches around :func:`knn_tiled`'s base-tile scan. Through a high-RTT
@@ -133,9 +134,14 @@ def knn_device(
     def step(_, qb):
         ids, dists = knn_tiled(qb, base, k=k, metric=metric, tile=tile,
                                precision=precision, approx=approx)
-        return _, (ids, dists)
+        # ids-only when dists aren't wanted: the stacked [Q, k] f32 output
+        # is 2 GB of dead HBM at the 5M-query GT call
+        return _, (ids if not return_dists else (ids, dists))
 
-    _, (ids, dists) = jax.lax.scan(step, None, qs)
+    _, out = jax.lax.scan(step, None, qs)
+    if not return_dists:
+        return out.reshape(q, k), None
+    ids, dists = out
     return (ids.reshape(q, k), dists.reshape(q, k))
 
 
@@ -178,12 +184,17 @@ def knn(
         # device-resident queries: the whole sweep is ONE dispatch and one
         # result fetch (see knn_device) — the host-batched loop below costs
         # per-batch relay round-trips
+        # NB the device pad below copies the query set — at multi-GB query
+        # counts pre-pad on the host to a query_batch multiple instead (the
+        # [:q] result slice is then a no-op view)
         qpad = (-q) % query_batch
         qd = (jnp.pad(queries, ((0, qpad), (0, 0))) if qpad else queries)
         ids, d = knn_device(qd, base_dev, k=k, metric=metric, tile=tile,
                             query_batch=min(query_batch, qd.shape[0]),
-                            precision=precision, approx=approx)
-        out_ids = np.asarray(ids[:q]).astype(np.uint32)
+                            precision=precision, approx=approx,
+                            return_dists=return_dists)
+        out_ids = np.asarray(ids if not qpad else ids[:q]).astype(np.uint32)
+        out_ids = out_ids[:q]
         out_d = np.asarray(d[:q]) if return_dists else None
         return out_ids, out_d
     out_ids = np.empty((q, k), dtype=np.uint32)

@@ -94,11 +94,19 @@ def main():
             t0 = time.time()
             if train_dev is None:
                 # one 4 GB upload shared by every shard's GT — per-batch
-                # H2D re-uploads dominate the sweep through the relay
-                train_dev = jnp.asarray(train_q)
+                # H2D re-uploads dominate the sweep through the relay.
+                # Pre-padded on host to a query_batch multiple so the device
+                # never copies the 4 GB buffer (zero-row results dropped).
+                tp = (-N_TRAIN) % 8192
+                trainp = (np.concatenate(
+                    [train_q, np.zeros((tp, D), np.float32)])
+                    if tp else np.asarray(train_q))
+                train_dev = jnp.asarray(trainp)
+                del trainp
             train_ids, _ = knn(train_dev, shard_dev, k=cfg.M_sq, metric="ip",
                                query_batch=8192, approx=True,
                                return_dists=False)
+            train_ids = np.ascontiguousarray(train_ids[:N_TRAIN])
             np.savez(gt_path, ids=train_ids)
             print(f"shard {s}: local gt {time.time() - t0:.0f}s", flush=True)
 
