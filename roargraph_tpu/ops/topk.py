@@ -184,18 +184,37 @@ def knn(
         # device-resident queries: the whole sweep is ONE dispatch and one
         # result fetch (see knn_device) — the host-batched loop below costs
         # per-batch relay round-trips
-        # NB the device pad below copies the query set — at multi-GB query
-        # counts pre-pad on the host to a query_batch multiple instead (the
-        # [:q] result slice is then a no-op view)
-        qpad = (-q) % query_batch
-        qd = (jnp.pad(queries, ((0, qpad), (0, 0))) if qpad else queries)
-        ids, d = knn_device(qd, base_dev, k=k, metric=metric, tile=tile,
-                            query_batch=min(query_batch, qd.shape[0]),
-                            precision=precision, approx=approx,
-                            return_dists=return_dists)
-        out_ids = np.asarray(ids if not qpad else ids[:q]).astype(np.uint32)
-        out_ids = out_ids[:q]
-        out_d = np.asarray(d[:q]) if return_dists else None
+        # Host loop over GROUPS of query batches: each group is one
+        # knn_device dispatch over a device-side slice (no re-upload), big
+        # enough to amortize the relay RTT, small enough that no single
+        # program runs for minutes (a whole-sweep megadispatch at 10M scale
+        # crashed the TPU worker through the tunnel).
+        group = query_batch * 32
+        out_ids = np.empty((q, k), dtype=np.uint32)
+        out_d = np.empty((q, k), dtype=np.float32) if return_dists else None
+        pending = []
+
+        def _drain_dev(item):
+            s, e, ids, d = item
+            out_ids[s:e] = np.asarray(ids)[: e - s].astype(np.uint32)
+            if return_dists:
+                out_d[s:e] = np.asarray(d)[: e - s]
+
+        for s in range(0, q, group):
+            e = min(s + group, q)
+            qb = jax.lax.slice_in_dim(queries, s, e)
+            gp = (-(e - s)) % query_batch
+            if gp:
+                qb = jnp.pad(qb, ((0, gp), (0, 0)))
+            ids, d = knn_device(qb, base_dev, k=k, metric=metric, tile=tile,
+                                query_batch=min(query_batch, qb.shape[0]),
+                                precision=precision, approx=approx,
+                                return_dists=return_dists)
+            pending.append((s, e, ids, d))
+            if len(pending) > 2:
+                _drain_dev(pending.pop(0))
+        for item in pending:
+            _drain_dev(item)
         return out_ids, out_d
     out_ids = np.empty((q, k), dtype=np.uint32)
     out_d = np.empty((q, k), dtype=np.float32) if return_dists else None
