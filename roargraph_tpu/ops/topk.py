@@ -11,6 +11,7 @@ round-trips per tile.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -188,8 +189,9 @@ def knn(
         # knn_device dispatch over a device-side slice (no re-upload), big
         # enough to amortize the relay RTT, small enough that no single
         # program runs for minutes (a whole-sweep megadispatch at 10M scale
-        # crashed the TPU worker through the tunnel).
-        group = query_batch * 32
+        # crashed the TPU worker through the tunnel). ROAR_GT_GROUP tunes
+        # batches-per-dispatch for flaky tunnels.
+        group = query_batch * int(os.environ.get("ROAR_GT_GROUP", "8"))
         out_ids = np.empty((q, k), dtype=np.uint32)
         out_d = np.empty((q, k), dtype=np.float32) if return_dists else None
         pending = []
