@@ -224,12 +224,15 @@ def main():
     if best_T is not None:
         from roargraph_tpu.tiles import _tile_search_packed
         R = 4
-        tiles_a, gids_a, cents_a, adj_a, norms_a = tile_dev
+        tiles_a, gids_a, cents_a, adj_a, norms_a = tile_dev[:5]
+        ac_a = tile_dev[5] if len(tile_dev) > 5 else None
+        acn_a = tile_dev[6] if len(tile_dev) > 6 else None
         qb = eval_q[:batch] if eval_q.shape[0] >= batch else eval_q
 
         def one_pass():
             return _tile_search_packed(
-                tiles_a, gids_a, cents_a, adj_a, qb, norms_a, k=K,
+                tiles_a, gids_a, cents_a, adj_a, qb, norms_a, None,
+                ac_a, acn_a, k=K,
                 T=best_T, Lc=max(2 * best_T, 16), metric=METRIC,
                 use_graph=True, scan_impl="grouped")
 

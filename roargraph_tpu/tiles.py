@@ -435,7 +435,7 @@ def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
-                     "early_exit", "exit_slack"))
+                     "early_exit", "exit_slack", "nbr_impl"))
 def tile_search_batch(
     tiles_t: jnp.ndarray,    # [K, D_pad, C] transposed scan layout (upload())
     gids: jnp.ndarray,       # [K, C] int32
@@ -443,6 +443,10 @@ def tile_search_batch(
     adj: jnp.ndarray,        # [K, Mc] int32
     queries: jnp.ndarray,    # [B, D]
     norms: jnp.ndarray | None = None,  # [K, C] |v|^2, required for L2
+    adj_cents: jnp.ndarray | None = None,  # [K, Mc, D] pre-gathered neighbor
+                             # centroids (upload()); enables the dense
+                             # neighbor-score path at large K
+    adj_cnorms: jnp.ndarray | None = None,  # [K, Mc] |c|^2 (L2 dense path)
     *,
     k: int,
     T: int,                  # clusters scanned per query (the sweep knob)
@@ -463,6 +467,14 @@ def tile_search_batch(
                              # queue-exhaustion termination
                              # (src/index_bipartite.cpp:2356). Easy queries
                              # stop in a few hops; T becomes a cap.
+    nbr_impl: str = "auto",  # neighbor centroid-score lookup: "onehot"
+                             # (dense one-hot einsum over [B, Mc, K] — small
+                             # K), "dense" (recompute scores from the
+                             # pre-gathered adj_cents table: contiguous row
+                             # reads + a tiny contraction — large K), or
+                             # "gather" (per-element s gather — fallback).
+                             # "auto" picks onehot while [B, Mc, K] <= 1 GB,
+                             # else dense when the table is present.
     exit_slack: float | None = None,  # bound tightness: 1.0 = the provable
                              # worst-case Cauchy-Schwarz bound (rarely stops
                              # — the residual is near-orthogonal to q in
@@ -487,9 +499,19 @@ def tile_search_batch(
     # neighbor centroid-score lookup: a [B, Mc] element gather costs ~15 ns
     # per element on TPU; the one-hot einsum form runs as dense vector math
     # (~2x faster) but materializes [B, Mc, K] — only worth it while that
-    # buffer stays modest
+    # buffer stays modest. Past that (1M+: K in the thousands), the dense
+    # path re-scores neighbors from the pre-gathered [K, Mc, D] centroid
+    # table: B contiguous Mc*D row reads + one batched contraction — no
+    # per-element access at all.
     Mc_w = adj.shape[1]
-    onehot_lookup = B * Mc_w * K * 4 <= (1 << 30)
+    if nbr_impl == "auto":
+        if B * Mc_w * K * 4 <= (1 << 30):
+            nbr_impl = "onehot"
+        else:
+            nbr_impl = "dense" if adj_cents is not None else "gather"
+    if nbr_impl == "dense" and adj_cents is None:
+        raise ValueError("nbr_impl='dense' needs the adj_cents table "
+                         "(upload())")
 
     # frontier ordering: all-centroid scores, one [B, K] contraction
     s = pairwise_scores(queries, centroids, metric,
@@ -586,10 +608,27 @@ def tile_search_batch(
             seen = jnp.any(n_safe[:, :, None] == xlist[:, None, :], axis=2)
             queued = jnp.any(q_i[:, :, None] == n_safe[:, None, :], axis=1)
             n_ok = n_ok & ~seen & ~queued
-            if onehot_lookup:
+            if nbr_impl == "onehot":
                 oh = (n_safe[:, :, None] ==
                       jnp.arange(K)[None, None, :]).astype(s.dtype)
                 n_s = jnp.einsum("bmk,bk->bm", oh, s)
+            elif nbr_impl == "dense":
+                # recompute scores from the pre-gathered neighbor-centroid
+                # table: adj_cents[f] is B contiguous [Mc, D] blocks — a
+                # sequential read, not an element gather. Scores match the
+                # s matrix up to contraction-order/storage-dtype rounding;
+                # they only rank the frontier, so near-tie flips are
+                # recall-neutral.
+                ac = adj_cents[f]                       # [B, Mc, D]
+                n_dots = jax.lax.dot_general(
+                    ac, queries.astype(ac.dtype),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [B, Mc]
+                if metric is Metric.L2:
+                    qn2 = jnp.sum(qf * qf, axis=1, keepdims=True)
+                    n_s = qn2 + adj_cnorms[f] - 2.0 * n_dots
+                else:
+                    n_s = -n_dots
             else:
                 n_s = s[b_arange[:, None], n_safe]
             n_d = jnp.where(n_ok, n_s, jnp.inf)
@@ -627,19 +666,23 @@ def tile_search_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
-                     "early_exit", "exit_slack"))
+                     "early_exit", "exit_slack", "nbr_impl"))
 def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms,
-                        radii=None, *, k, T, Lc, metric, use_graph,
-                        scan_impl, early_exit=False, exit_slack=None):
+                        radii=None, adj_cents=None, adj_cnorms=None, *,
+                        k, T, Lc, metric, use_graph,
+                        scan_impl, early_exit=False, exit_slack=None,
+                        nbr_impl="auto"):
     """tile_search_batch + on-device packing of the four results into ONE
     [B, 2k+2] int32 array (dists bitcast). The serving host fetches a single
     buffer per batch — through a high-RTT device relay, four separate D2H
     transfers cost more than the whole hop loop."""
     from .search import pack_results
     ids, dists, cmps, hops = tile_search_batch(
-        tiles_t, gids, centroids, adj, queries, norms, k=k, T=T, Lc=Lc,
+        tiles_t, gids, centroids, adj, queries, norms,
+        adj_cents, adj_cnorms, k=k, T=T, Lc=Lc,
         metric=metric, use_graph=use_graph, scan_impl=scan_impl,
-        radii=radii, early_exit=early_exit, exit_slack=exit_slack)
+        radii=radii, early_exit=early_exit, exit_slack=exit_slack,
+        nbr_impl=nbr_impl)
     return pack_results(ids, dists, cmps, hops)
 
 
@@ -648,7 +691,7 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
                 use_graph: bool = True, batch_size: int = 2048,
                 device_arrays: tuple | None = None,
                 scan_impl: str = "auto", early_exit: bool = False,
-                exit_slack: float | None = None):
+                exit_slack: float | None = None, nbr_impl: str = "auto"):
     """Host wrapper: loop device-sized query blocks; returns numpy
     (ids [Q, k], dists [Q, k], cmps [Q], hops [Q]).
 
@@ -661,7 +704,10 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
     metric = Metric.parse(metric)
     if device_arrays is None:
         device_arrays = upload(index)
-    tiles, gids, cents, adj, norms = device_arrays
+    # 5-tuple accepted for back-compat (pre-adj_cents callers)
+    tiles, gids, cents, adj, norms = device_arrays[:5]
+    adj_cents = device_arrays[5] if len(device_arrays) > 5 else None
+    adj_cnorms = device_arrays[6] if len(device_arrays) > 6 else None
     if scan_impl == "auto":
         # grouped scan is the fastest measured per-hop path while its
         # [G, nq, C]/[G, nq, Dp] staging buffers stay modest; at large K
@@ -693,10 +739,11 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
         if e - s < Bsz:
             qb = jnp.pad(qb, ((0, Bsz - (e - s)), (0, 0)))
         res = _tile_search_packed(tiles, gids, cents, adj, qb,
-                                  norms, radii_dev, k=k, T=T, Lc=Lc,
+                                  norms, radii_dev, adj_cents, adj_cnorms,
+                                  k=k, T=T, Lc=Lc,
                                   metric=metric, use_graph=use_graph,
                                   scan_impl=scan_impl, early_exit=early_exit,
-                                  exit_slack=exit_slack)
+                                  exit_slack=exit_slack, nbr_impl=nbr_impl)
         pending.append((s, e, res))
     from .search import unpack_results
     for s, e, res in pending:
@@ -712,12 +759,30 @@ def _to_scan_layout(tiles, *, Dp):
     return jnp.swapaxes(tt, 1, 2), norms
 
 
-def upload(index: TileIndex) -> tuple:
+def upload(index: TileIndex, *, nbr_table: bool | None = None) -> tuple:
     """One-time device upload of the searchable arrays: the transposed
     ``[K, D_pad, C]`` scan layout (tile-aligned minor dims for the DMA
-    kernel, and equally valid for the XLA contraction) plus per-vector
-    squared norms (the L2 score term)."""
+    kernel, and equally valid for the XLA contraction), per-vector squared
+    norms (the L2 score term), and — for large-K indexes — the pre-gathered
+    ``adj_cents [K, Mc, D]`` neighbor-centroid table (+ its norms) powering
+    the dense neighbor-score path of :func:`tile_search_batch`.
+
+    ``nbr_table``: force the table on/off; default builds it when K is big
+    enough that the one-hot lookup would fall off its 1 GB buffer budget at
+    serving batch sizes (the table costs K*Mc*D of tile-dtype HBM — ~0.7 GB
+    at 10M-scale bf16, repaid every hop)."""
     D = index.tiles.shape[2]
+    K, Mc = index.adj.shape
     tiles_t, norms = _to_scan_layout(jnp.asarray(index.tiles), Dp=_pad_d(D))
+    if nbr_table is None:
+        nbr_table = 8192 * Mc * K * 4 > (1 << 30)
+    adj_cents = adj_cnorms = None
+    if nbr_table:
+        safe = np.clip(index.adj, 0, K - 1)
+        ac = index.centroids[safe]                       # [K, Mc, D] f32
+        ac = np.where((index.adj == PAD)[:, :, None], 0.0, ac)
+        adj_cnorms = jnp.asarray((ac.astype(np.float32) ** 2).sum(axis=2))
+        adj_cents = jnp.asarray(ac.astype(index.tiles.dtype))
     return (tiles_t, jnp.asarray(index.gids),
-            jnp.asarray(index.centroids), jnp.asarray(index.adj), norms)
+            jnp.asarray(index.centroids), jnp.asarray(index.adj), norms,
+            adj_cents, adj_cnorms)

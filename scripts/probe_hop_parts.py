@@ -36,7 +36,7 @@ base, _, eval_q = benchmod.make_data(N, N_TRAIN, N_EVAL, D, SEED)
 cache = os.path.join("build", f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")
 tidx = TileIndex.load_npz(cache.replace(".npz", "_tiles256.npz"))
 tidx = tidx.astype(jnp.bfloat16)
-tiles_t, gids, cents, adj, norms = upload(tidx)
+tiles_t, gids, cents, adj, norms = upload(tidx)[:5]
 K, Dp, Cc = tiles_t.shape
 Mc = tidx.adj.shape[1]
 Lc = 24

@@ -51,7 +51,7 @@ else:
     tidx.save_npz(tile_cache)
 tidx = tidx.astype(jnp.bfloat16)
 dev = upload(tidx)
-tiles_t, gids, cents, adj, norms = dev
+tiles_t, gids, cents, adj, norms = dev[:5]
 q = jnp.asarray(eval_q[:BATCH])
 if BATCH > eval_q.shape[0]:
     q = jnp.tile(jnp.asarray(eval_q), (BATCH // eval_q.shape[0] + 1, 1)

@@ -181,3 +181,42 @@ def test_with_radii_bounds_members(setup):
         d = np.linalg.norm(ti.tiles[kk][m].astype(np.float32)
                            - ti.centroids[kk], axis=1)
         assert (d <= ti.radii[kk] + 1e-4).all()
+
+
+def test_dense_nbr_lookup_parity(setup):
+    """The dense neighbor-score path (pre-gathered adj_cents table — the
+    large-K serving configuration) must rank the frontier like the onehot /
+    gather paths: same dot against the same centroids, so results agree up
+    to contraction-order rounding on near-ties. Asserted as identical
+    result sets per query (f32, CPU: bitwise-stable)."""
+    from roargraph_tpu.tiles import upload
+    _, queries, _, tidx, gt_ids = setup
+    dev = upload(tidx, nbr_table=True)
+    assert dev[5] is not None and dev[6] is not None
+    out = {}
+    for impl in ("onehot", "gather", "dense"):
+        out[impl] = tile_search(tidx, queries, k=10, T=6, Lc=12,
+                                metric="ip", batch_size=256,
+                                device_arrays=dev, nbr_impl=impl)
+    for impl in ("gather", "dense"):
+        same = np.mean([
+            len(set(out["onehot"][0][i].tolist())
+                & set(out[impl][0][i].tolist())) / 10
+            for i in range(queries.shape[0])])
+        assert same > 0.99, (impl, same)
+    # and the dense path must not cost recall
+    assert recall(out["dense"][0], gt_ids) >= recall(out["onehot"][0],
+                                                     gt_ids) - 0.005
+
+
+def test_dense_nbr_lookup_l2(setup):
+    from roargraph_tpu.tiles import upload
+    base, queries, graph, _, _ = setup
+    tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="l2")
+    gt_ids, _ = knn(queries, base, k=10, metric="l2")
+    dev = upload(tidx, nbr_table=True)
+    a = tile_search(tidx, queries, k=10, T=6, Lc=12, metric="l2",
+                    batch_size=256, device_arrays=dev, nbr_impl="onehot")
+    b = tile_search(tidx, queries, k=10, T=6, Lc=12, metric="l2",
+                    batch_size=256, device_arrays=dev, nbr_impl="dense")
+    assert recall(b[0], gt_ids) >= recall(a[0], gt_ids) - 0.005
