@@ -670,18 +670,32 @@ def build_sharded_tiles(index: ShardedRoarGraph, *, cluster_size: int = 256,
 
 
 def sharded_tile_search_step(mesh: Mesh, *, k: int, T: int, Lc: int,
-                             metric: Metric, scan_impl: str = "grouped"):
+                             metric: Metric, scan_impl: str = "grouped",
+                             has_nbr_table: bool = False,
+                             nbr_impl: str = "auto"):
     """SPMD tile search: per-shard tile walk (local clusters only, masked by
     ``n_clusters``), then ONE ``all_gather`` of the [B, k] per-shard results
     over the shard axis + a two-key sort — the identical merge schedule as
-    :func:`sharded_search_step`, applied to the serving engine."""
+    :func:`sharded_search_step`, applied to the serving engine.
+
+    ``has_nbr_table``: two extra sharded inputs (adj_cents [S, K, Mc, D],
+    adj_cnorms [S, K, Mc]) feed the dense neighbor-score path — the large-K
+    configuration, where the per-element score gather would dominate the
+    hop on every shard."""
     from ..tiles import tile_search_batch
 
-    def local(tiles_t, gids, cents, adj, norms, offsets, ncl, queries):
+    def local(tiles_t, gids, cents, adj, norms, offsets, ncl, *rest):
+        if has_nbr_table:
+            adj_cents, adj_cnorms, queries = rest
+            ac, acn = adj_cents[0], adj_cnorms[0]
+        else:
+            (queries,) = rest
+            ac = acn = None
         ids, d, cmps, hops = tile_search_batch(
             tiles_t[0], gids[0], cents[0], adj[0], queries, norms[0],
+            ac, acn,
             k=k, T=T, Lc=Lc, metric=metric, scan_impl=scan_impl,
-            valid_clusters=ncl[0])
+            valid_clusters=ncl[0], nbr_impl=nbr_impl)
         gid = jnp.where(ids >= 0, ids + offsets[0], jnp.int32(BIG))
         gd = jnp.where(ids >= 0, d, jnp.inf)
         all_i = jax.lax.all_gather(gid, "shard")            # [S, B, k]
@@ -693,9 +707,10 @@ def sharded_tile_search_step(mesh: Mesh, *, k: int, T: int, Lc: int,
         out_i = jnp.where(si[:, :k] == BIG, -1, si[:, :k])
         return out_i, sd[:, :k], cmps[None, :], hops[None, :]
 
+    n_sharded = 9 if has_nbr_table else 7
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("shard"),) * 7 + (P("dp"),),
+        in_specs=(P("shard"),) * n_sharded + (P("dp"),),
         out_specs=(P("dp"), P("dp"), P("shard", "dp"), P("shard", "dp")),
         check_vma=False)
     return jax.jit(fn)
@@ -706,9 +721,15 @@ def sharded_tile_search(index: ShardedTileIndex, queries, *, k: int = 10,
                         metric: Metric | str = Metric.IP,
                         mesh: Mesh | None = None,
                         scan_impl: str = "grouped",
-                        with_stats: bool = False):
+                        with_stats: bool = False,
+                        nbr_table: bool | None = None,
+                        nbr_impl: str = "auto"):
     """Host wrapper for the SPMD tile search. Returns (ids [Q, k] global,
-    dists [Q, k]); ``with_stats=True`` adds per-shard (cmps, hops)."""
+    dists [Q, k]); ``with_stats=True`` adds per-shard (cmps, hops).
+
+    ``nbr_table`` mirrors :func:`roargraph_tpu.tiles.upload`: default builds
+    the pre-gathered neighbor-centroid table whenever per-shard K is past
+    the one-hot lookup's buffer budget."""
     metric = Metric.parse(metric)
     S = index.num_shards
     if mesh is None:
@@ -721,13 +742,25 @@ def sharded_tile_search(index: ShardedTileIndex, queries, *, k: int = 10,
         queries = np.concatenate(
             [queries, np.zeros((pad, queries.shape[1]), queries.dtype)])
     Lc = Lc or 2 * T
+    K, Mc = index.adj.shape[1:]
+    if nbr_table is None:
+        nbr_table = 8192 * Mc * K * 4 > (1 << 30)
+    extra = ()
+    if nbr_table:
+        safe = np.clip(index.adj, 0, K - 1)
+        ac = index.centroids[np.arange(S)[:, None, None], safe]
+        ac = np.where((index.adj == PAD)[..., None], 0.0, ac)  # [S,K,Mc,D]
+        extra = (jnp.asarray(ac.astype(index.tiles_t.dtype)),
+                 jnp.asarray((ac.astype(np.float32) ** 2).sum(axis=3)))
     step = sharded_tile_search_step(mesh, k=k, T=T, Lc=Lc, metric=metric,
-                                    scan_impl=scan_impl)
+                                    scan_impl=scan_impl,
+                                    has_nbr_table=nbr_table,
+                                    nbr_impl=nbr_impl)
     ids, d, cmps, hops = step(
         jnp.asarray(index.tiles_t), jnp.asarray(index.gids),
         jnp.asarray(index.centroids), jnp.asarray(index.adj),
         jnp.asarray(index.norms), jnp.asarray(index.offsets),
-        jnp.asarray(index.n_clusters), jnp.asarray(queries))
+        jnp.asarray(index.n_clusters), *extra, jnp.asarray(queries))
     ids, d = np.asarray(ids), np.asarray(d)
     if with_stats:
         return (ids[:Q], d[:Q], np.asarray(cmps)[:, :Q],

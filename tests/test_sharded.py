@@ -229,3 +229,32 @@ def test_sharded_search_with_seeds(rng):
     for row in seeded[0]:
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_sharded_tile_search_dense_nbr(rng):
+    """The SPMD tile search with the pre-gathered neighbor-centroid table
+    (the large-K serving configuration, forced on at test shapes) must
+    return the same result sets as the default lookup — the dense path
+    re-scores the same centroids, so only near-tie frontier order can
+    differ."""
+    from roargraph_tpu.dist import build_sharded_tiles, sharded_tile_search
+
+    base, train_q = make_crossmodal(rng, n_base=700, n_query=500, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=32, dim=16)[1]
+    cfg = rt.BuildConfig(metric="ip", M_sq=20, M_pjbp=6, L_pjpq=30,
+                         prune_batch=256, search_batch=128)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=4)
+    stidx = build_sharded_tiles(index, cluster_size=64, Mc=8, metric="ip")
+    mesh = make_mesh(4, 2)
+    a_ids, _ = sharded_tile_search(stidx, eval_q, k=10, T=6, metric="ip",
+                                   mesh=mesh)
+    b_ids, _ = sharded_tile_search(stidx, eval_q, k=10, T=6, metric="ip",
+                                   mesh=mesh, nbr_table=True,
+                                   nbr_impl="dense")
+    same = np.mean([len(set(a_ids[i].tolist()) & set(b_ids[i].tolist())) / 10
+                    for i in range(eval_q.shape[0])])
+    assert same > 0.99, same
