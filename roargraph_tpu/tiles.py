@@ -712,12 +712,20 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
         # grouped scan is the fastest measured per-hop path while its
         # [G, nq, C]/[G, nq, Dp] staging buffers stay modest; at large K
         # (10M-scale: K ~ 56k) they would be multi-GB, and with B << K
-        # grouping has nothing to share anyway — fall back to the plain
-        # per-query gather+dot
+        # grouping has nothing to share anyway. Past that, prefer the
+        # fused-DMA Pallas kernel when its tiling constraints hold (every
+        # tile byte crosses HBM once) — the XLA gather+dot's [B, Dp, C]
+        # staging buffer costs ~3x the scan bytes per hop; keep it only as
+        # the portable fallback.
         K_, Dp_, C_ = tiles.shape
         G_ = K_ + max(batch_size // 64, 1)
-        scan_impl = ("grouped"
-                     if G_ * 64 * max(Dp_, C_) * 4 <= (1 << 30) else "xla")
+        if G_ * 64 * max(Dp_, C_) * 4 <= (1 << 30):
+            scan_impl = "grouped"
+        elif (C_ % 128 == 0 and batch_size % _GQ == 0
+              and jax.default_backend() == "tpu"):
+            scan_impl = "pallas"
+        else:
+            scan_impl = "xla"
     radii_dev = None
     if early_exit:
         index = index.with_radii()

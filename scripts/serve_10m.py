@@ -83,18 +83,54 @@ def main():
     T_values = [int(t) for t in os.environ.get(
         "SERVE_T", "24,48,96,160,256,384").split(",")]
 
+    # scan-impl smoke test: "auto" resolves to the fused-DMA Pallas kernel
+    # at this K; if that kernel faults on this backend, fall back to the
+    # portable XLA scan instead of burning the driver's serve retries
+    scan = os.environ.get("SERVE_SCAN", "auto")
+    if scan == "auto":
+        try:
+            tile_search(tidx, jnp.asarray(eval_q[:8192]), k=K, T=2, Lc=4,
+                        metric="ip", batch_size=8192, device_arrays=dev)
+        except Exception as e:  # noqa: BLE001 — any kernel fault
+            print(f"auto scan smoke failed ({type(e).__name__}: {e}); "
+                  f"forcing xla scan", flush=True)
+            scan = "xla"
+
     def tile_fn(T):
         return tile_search(tidx, jnp.asarray(eval_q), k=K, T=T,
                            Lc=max(2 * T, 16), metric="ip",
-                           batch_size=8192, device_arrays=dev)
+                           batch_size=8192, device_arrays=dev,
+                           scan_impl=scan)
 
     rows = reval.sweep(tile_fn, T_values, gt_ids, k=K, metric="ip",
                        n_queries=N_EVAL, verbose="stderr", raw=True,
                        knob="T")
     qps = reval.qps_at_recall(rows, TARGET)
+
+    # adaptive early-exit (T becomes a cap; per-query stop on the cluster
+    # score bound) — the 10M operating point is where per-query T variance
+    # is widest
+    tidx = tidx.with_radii()
+    ee_rows, ee_qps = [], None
+    if not os.environ.get("SERVE_NO_EE"):
+        def tile_ee_fn(T):
+            return tile_search(tidx, jnp.asarray(eval_q), k=K, T=T,
+                               Lc=max(2 * T, 16), metric="ip",
+                               batch_size=8192, device_arrays=dev,
+                               scan_impl=scan, early_exit=True)
+
+        ee_rows = reval.sweep(tile_ee_fn, T_values, gt_ids, k=K,
+                              metric="ip", n_queries=N_EVAL,
+                              verbose="stderr", raw=True, knob="T")
+        ee_qps = reval.qps_at_recall(ee_rows, TARGET)
+
     print(json.dumps({"tag": TAG, "tile_qps_at_recall": qps,
+                      "tile_adaptive_qps_at_recall": ee_qps,
+                      "scan_impl": scan,
                       "rows": [[r["L_pq"], r["qps"], r["recall"]]
-                               for r in rows]}), flush=True)
+                               for r in rows],
+                      "ee_rows": [[r["L_pq"], r["qps"], r["recall"]]
+                                  for r in ee_rows]}), flush=True)
 
 
 if __name__ == "__main__":
