@@ -20,6 +20,13 @@ import os
 import sys
 import time
 
+# Slow-first-touch VM mitigation (see scripts/build_10m.py): keep freed
+# numpy temps in the glibc arena instead of munmap/refault cycles.
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
+    os.environ["MALLOC_MMAP_THRESHOLD_"] = str(1 << 40)
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 40)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import numpy as np
 
 

@@ -12,6 +12,16 @@ import os
 import sys
 import time
 
+# This VM's first-touch anonymous memory faults cost ~60 us/4KB page
+# (~65 MB/s), and glibc munmaps every numpy temp >128 KB, so every big
+# temporary refaults from scratch. Re-exec once with malloc tuned to keep
+# freed blocks in the arena (no munmap, no refault) — worth ~10x wall on
+# the host-side stages here.
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
+    os.environ["MALLOC_MMAP_THRESHOLD_"] = str(1 << 40)
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 40)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
