@@ -20,12 +20,17 @@ import os
 import sys
 import time
 
-# Slow-first-touch VM mitigation (see scripts/build_10m.py): keep freed
-# numpy temps in the glibc arena instead of munmap/refault cycles.
-if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
-    os.environ["MALLOC_MMAP_THRESHOLD_"] = str(1 << 40)
-    os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 40)
-    os.execv(sys.executable, [sys.executable] + sys.argv)
+# Slow-first-touch VM mitigation (roargraph_tpu/utils/hostmem.py): stop the
+# host's proactive reclaim + keep freed numpy temps in the glibc arena.
+# Loaded by file path so nothing jax-heavy imports before the re-exec.
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location(
+    "_hostmem", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "roargraph_tpu", "utils", "hostmem.py"))
+_hostmem = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_hostmem)
+_hostmem.harden()
 
 import numpy as np
 

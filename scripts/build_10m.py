@@ -23,15 +23,17 @@ import os
 import sys
 import time
 
-# This VM's first-touch anonymous memory faults cost ~60 us/4KB page
-# (~65 MB/s), and glibc munmaps every numpy temp >128 KB, so every big
-# temporary refaults from scratch. Re-exec once with malloc tuned to keep
-# freed blocks in the arena (no munmap, no refault) — worth ~10x wall on
-# the host-side stages here.
-if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
-    os.environ["MALLOC_MMAP_THRESHOLD_"] = str(1 << 40)
-    os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 40)
-    os.execv(sys.executable, [sys.executable] + sys.argv)
+# Slow-first-touch VM mitigation (roargraph_tpu/utils/hostmem.py): stop the
+# host's proactive reclaim + keep freed numpy temps in the glibc arena.
+import importlib.util as _ilu
+
+_spec = _ilu.spec_from_file_location(
+    "_hostmem",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "roargraph_tpu", "utils", "hostmem.py"))
+_hostmem = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_hostmem)
+_hostmem.harden()
 
 import numpy as np
 
