@@ -275,8 +275,24 @@ def main():
                              batch_size=batch, n_seeds=8, L_bucket=bucket)
         return search(graph, flat_base, eval_q, c2, seeds=sidx)
 
+    def tpu_dedup_fn(c):
+        # visited-free flat engine (identical ids/dists/hops; re-scores
+        # uncounted): the fast-flat serving mode where the visited bitmask
+        # gather/scatter dominates the hop (N >= ~1M, probe_merge.py)
+        c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
+                             batch_size=batch, n_seeds=8, L_bucket=bucket,
+                             visited_mode="dedup")
+        return search(graph, flat_base, eval_q, c2, seeds=sidx)
+
     # The device degrades within long processes (tunnel tenancy); run the
     # stronger seeded mode first so it gets the fast phase.
+    dedup_rows, tpu_dedup_qps = [], None
+    if N >= 500_000 or os.environ.get("BENCH_FLAT_DEDUP"):
+        log("TPU sweep (seeded start, dedup visited):")
+        dedup_rows = reval.sweep(tpu_dedup_fn, L_values, gt_ids, k=K,
+                                 metric=METRIC, n_queries=N_EVAL,
+                                 verbose="stderr")
+        tpu_dedup_qps = reval.qps_at_recall(dedup_rows, TARGET)
     log("TPU sweep (seeded start):")
     seeded_rows = reval.sweep(tpu_seeded_fn, L_values, gt_ids, k=K,
                               metric=METRIC, n_queries=N_EVAL,
@@ -287,10 +303,12 @@ def main():
                            verbose="stderr")
     tpu_plain_qps = reval.qps_at_recall(tpu_rows, TARGET)
     tpu_seeded_qps = reval.qps_at_recall(seeded_rows, TARGET)
-    tpu_qps = max([q for q in (tpu_plain_qps, tpu_seeded_qps, tile_qps)
+    tpu_qps = max([q for q in (tpu_plain_qps, tpu_seeded_qps, tpu_dedup_qps,
+                               tile_qps)
                    if q is not None], default=None)
     best_recall = max(r["recall"]
-                      for r in tpu_rows + seeded_rows + tile_rows)
+                      for r in tpu_rows + seeded_rows + dedup_rows
+                      + tile_rows)
 
     # --- CPU native baseline sweep (reference-engine semantics) ---
     cpu_qps = None
@@ -323,6 +341,8 @@ def main():
         "tile_config": f"C{tidx.cluster_size}_{tile_dtype}",
         "tpu_medoid_qps": round(tpu_plain_qps, 1) if tpu_plain_qps else None,
         "tpu_seeded_qps": round(tpu_seeded_qps, 1) if tpu_seeded_qps else None,
+        "tpu_flat_dedup_qps": (round(tpu_dedup_qps, 1)
+                               if tpu_dedup_qps else None),
         "cpu_baseline_qps": round(cpu_qps, 1) if cpu_qps else None,
         "cpu_threads": threads,
         "platform": platform,

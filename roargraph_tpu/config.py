@@ -136,6 +136,12 @@ class SearchConfig:
     # one compiled program then serves every L_pq <= L_bucket (sweeps stop
     # recompiling per point). None = compile per L_pq.
     L_bucket: int | None = None
+    # Visited-set implementation: "bitmask" (reference-parity cmps
+    # accounting) or "dedup" (no visited state at all — duplicates collapse
+    # by id in the queue merge; identical ids/dists/hops and expansion
+    # sequence, re-scores uncounted in cmps). "dedup" removes the hop's
+    # largest cost at N >= ~1M (the bitmask gather/scatter).
+    visited_mode: str = "bitmask"
 
     def __post_init__(self):
         object.__setattr__(self, "metric", Metric.parse(self.metric))
@@ -144,6 +150,8 @@ class SearchConfig:
             raise ValueError("L_pq must be greater or equal than k")
         if self.L_bucket is not None and self.L_bucket < self.L_pq:
             raise ValueError("L_bucket must be >= L_pq")
+        if self.visited_mode not in ("bitmask", "dedup"):
+            raise ValueError("visited_mode must be 'bitmask' or 'dedup'")
 
     @property
     def effective_max_hops(self) -> int:

@@ -446,9 +446,10 @@ def beam_search_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "metric", "segment", "gather_chunk", "expand_width"))
+    static_argnames=("L", "metric", "segment", "gather_chunk", "expand_width",
+                     "visited_mode"))
 def _run_segment(adj, base, queries, orig_idx, state, *, L, metric, segment,
-                 gather_chunk, expand_width):
+                 gather_chunk, expand_width, visited_mode="bitmask"):
     """Advance every query by at most ``segment`` further frontier
     expansions. Returns (state, n_active)."""
     B = queries.shape[0]
@@ -456,7 +457,8 @@ def _run_segment(adj, base, queries, orig_idx, state, *, L, metric, segment,
     cond, body = _make_hop(adj, base, queries, self_ids, L=L, metric=metric,
                            capture=0, R=1, exclude_self=False,
                            gather_chunk=gather_chunk,
-                           expand_width=expand_width)
+                           expand_width=expand_width,
+                           visited_mode=visited_mode)
     state = state[:8] + (jnp.int32(0),)  # reset segment iteration counter
 
     def cond_seg(st):
@@ -551,12 +553,14 @@ def search_segmented(
             init_ids, init_dists = seed_fn(qd)
         state = _init_state(base_dev, qd, ep, L=L, metric=config.metric,
                             N=adj.shape[0], R=1, init_ids=init_ids,
-                            init_dists=init_dists)
+                            init_dists=init_dists,
+                            track_visited=config.visited_mode != "dedup")
         for _ in range(max_rounds):
             state, n_active, active = _run_segment(
                 adj, base_dev, qd, oi, state, L=L, metric=config.metric,
                 segment=segment, gather_chunk=config.gather_chunk,
-                expand_width=config.expand_width)
+                expand_width=config.expand_width,
+                visited_mode=config.visited_mode)
             n = int(n_active)
             B_cur = qd.shape[0]
             if n == 0:
@@ -641,7 +645,8 @@ def search(
             max_hops=config.effective_max_hops,
             gather_chunk=config.gather_chunk,
             expand_width=config.expand_width,
-            init_ids=init_ids, init_dists=init_dists, L_eff=L_eff)
+            init_ids=init_ids, init_dists=init_dists, L_eff=L_eff,
+            visited_mode=config.visited_mode)
         pending.append((s, e, pack_results(res.ids, res.dists,
                                            res.cmps, res.hops)))
     for s, e, res in pending:

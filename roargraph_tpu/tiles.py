@@ -421,15 +421,19 @@ def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
     row = jnp.cumsum(boundary.astype(jnp.int32)) - 1         # [B] in [0, G)
     slot = rank % nq_max
     tile_of = jnp.zeros((G,), jnp.int32).at[row].max(fs)
-    Q = jnp.zeros((G, nq_max, Dp), qp.dtype).at[row, slot].set(qp[ord_])
-    qidx = jnp.full((G, nq_max), B, jnp.int32).at[row, slot].set(ord_)
+    # Staging via row-GATHERS driven by two tiny int32 scatters: TPU scatters
+    # of [*, Dp]-row payloads serialize read-modify-write per row, while the
+    # equivalent gathers stream. Pad slots read qp[0] (src init 0); their dot
+    # outputs are never referenced by pos_q below.
+    pos = row * nq_max + slot                                # [B], ord_ order
+    src = jnp.zeros((G * nq_max,), jnp.int32).at[pos].set(ord_)
+    pos_q = jnp.zeros((B,), jnp.int32).at[ord_].set(pos)
+    Q = qp[src].reshape(G, nq_max, Dp)
     tg = tiles_t[tile_of]                                    # [G, Dp, C]
     sg = jax.lax.dot_general(
         Q, tg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [G, nq_max, C]
-    out = jnp.zeros((B, C), jnp.float32).at[qidx.reshape(-1)].set(
-        sg.reshape(-1, C), mode="drop")
-    return out
+    return sg.reshape(G * nq_max, C)[pos_q]                  # [B, C]
 
 
 @functools.partial(

@@ -115,11 +115,31 @@ def main():
                     if tp else np.asarray(train_q))
                 train_dev = jnp.asarray(trainp)
                 del trainp
-            train_ids, _ = knn(train_dev, shard_dev, k=cfg.M_sq, metric="ip",
-                               query_batch=8192, approx=True,
-                               return_dists=False)
-            train_ids = np.ascontiguousarray(train_ids[:N_TRAIN])
+            # Part-sliced with on-disk checkpoints: the TPU worker crashes
+            # intermittently under sustained load, and a crash mid-GT must
+            # not discard the shard's completed query slices (attempt 1 of
+            # this protocol lost ~30 min exactly that way).
+            part = 8192 * int(os.environ.get("B10M_GT_PART", "16"))
+            pdir = gt_path + ".parts"
+            os.makedirs(pdir, exist_ok=True)
+            train_ids = np.empty((N_TRAIN, cfg.M_sq), np.uint32)
+            n_parts = (N_TRAIN + part - 1) // part
+            for p in range(n_parts):
+                qlo, qhi = p * part, min((p + 1) * part, N_TRAIN)
+                ppath = os.path.join(pdir, f"{p}.npy")
+                if os.path.exists(ppath):
+                    train_ids[qlo:qhi] = np.load(ppath)
+                    continue
+                # train_dev is host-padded to a batch multiple, so the slice
+                # end may legally overshoot N_TRAIN (zero rows dropped below)
+                ids, _ = knn(train_dev[qlo: qlo + part], shard_dev,
+                             k=cfg.M_sq, metric="ip", query_batch=8192,
+                             approx=True, return_dists=False)
+                train_ids[qlo:qhi] = ids[: qhi - qlo]
+                np.save(ppath, train_ids[qlo:qhi])
             np.savez(gt_path, ids=train_ids)
+            import shutil
+            shutil.rmtree(pdir, ignore_errors=True)
             print(f"shard {s}: local gt {time.time() - t0:.0f}s", flush=True)
 
         t0 = time.time()

@@ -230,6 +230,32 @@ def test_dedup_mode_matches_bitmask(rng):
         assert (np.asarray(b.cmps) >= np.asarray(a.cmps)).all()
 
 
+def test_search_config_dedup_mode(rng):
+    """SearchConfig(visited_mode="dedup") plumbs through both host wrappers:
+    plain and segmented dedup searches match the bitmask engine's ids, dists
+    and hops exactly (the serving-path knob for N >= ~1M, where the visited
+    bitmask gather/scatter dominates the hop)."""
+    n, dim = 300, 10
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    lists = _random_graph(rng, n, 7)
+    g = PaddedGraph.from_lists(lists, ep=0)
+    queries = rng.standard_normal((150, dim)).astype(np.float32)
+    ref = rsearch.search(
+        g, base, queries,
+        SearchConfig(k=5, L_pq=24, metric=Metric.IP, batch_size=128))
+    for segmented in (False, True):
+        got = rsearch.search(
+            g, base, queries,
+            SearchConfig(k=5, L_pq=24, metric=Metric.IP, batch_size=128,
+                         visited_mode="dedup", segmented=segmented,
+                         segment_hops=8 if segmented else None))
+        np.testing.assert_array_equal(ref[0], got[0])
+        np.testing.assert_allclose(ref[1], got[1], rtol=1e-6)
+        np.testing.assert_array_equal(ref[3], got[3])  # hops exact
+    with pytest.raises(ValueError):
+        SearchConfig(k=5, L_pq=24, visited_mode="nope")
+
+
 def test_segmented_matches_plain(rng):
     """Segmented serving engine must return bit-identical results, cmps and
     hops — segmentation and compaction are pure scheduling transforms."""
