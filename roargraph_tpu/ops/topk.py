@@ -191,7 +191,12 @@ def knn(
         # program runs for minutes (a whole-sweep megadispatch at 10M scale
         # crashed the TPU worker through the tunnel). ROAR_GT_GROUP tunes
         # batches-per-dispatch for flaky tunnels.
-        group = query_batch * int(os.environ.get("ROAR_GT_GROUP", "8"))
+        # Default 2 batches/dispatch: the tunnel's worker also dies under
+        # single programs in the tens-of-seconds range at 10M-scale sweeps
+        # (observed 2026-08-17: repeated UNAVAILABLE crashes during shard GT
+        # at group=8; the shorter programs also shrink the work lost per
+        # crash). Raise for stable direct-attached devices.
+        group = query_batch * int(os.environ.get("ROAR_GT_GROUP", "2"))
         out_ids = np.empty((q, k), dtype=np.uint32)
         out_d = np.empty((q, k), dtype=np.float32) if return_dists else None
         pending = []

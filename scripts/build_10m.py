@@ -96,6 +96,9 @@ def main():
             continue
         t_shard = time.time()
         shard_dev = jnp.asarray(base[lo:hi])
+        shard_dev.block_until_ready()
+        print(f"shard {s}: vectors on device "
+              f"({time.time() - t_shard:.0f}s)", flush=True)
 
         gt_path = os.path.join("build", f"{TAG}_gt_shard{s}.npz")
         if os.path.exists(gt_path):
@@ -114,7 +117,10 @@ def main():
                     [train_q, np.zeros((tp, D), np.float32)])
                     if tp else np.asarray(train_q))
                 train_dev = jnp.asarray(trainp)
+                train_dev.block_until_ready()
                 del trainp
+                print(f"shard {s}: train queries on device "
+                      f"({time.time() - t0:.0f}s)", flush=True)
             # Part-sliced with on-disk checkpoints: the TPU worker crashes
             # intermittently under sustained load, and a crash mid-GT must
             # not discard the shard's completed query slices (attempt 1 of
@@ -137,6 +143,8 @@ def main():
                              approx=True, return_dists=False)
                 train_ids[qlo:qhi] = ids[: qhi - qlo]
                 np.save(ppath, train_ids[qlo:qhi])
+                print(f"shard {s}: gt part {p + 1}/{n_parts} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
             np.savez(gt_path, ids=train_ids)
             import shutil
             shutil.rmtree(pdir, ignore_errors=True)

@@ -136,13 +136,18 @@ def main():
                               verbose="stderr", raw=True, knob="T")
         ee_qps = reval.qps_at_recall(ee_rows, TARGET)
 
-    print(json.dumps({"tag": TAG, "tile_qps_at_recall": qps,
-                      "tile_adaptive_qps_at_recall": ee_qps,
-                      "scan_impl": scan,
-                      "rows": [[r["L_pq"], r["qps"], r["recall"]]
-                               for r in rows],
-                      "ee_rows": [[r["L_pq"], r["qps"], r["recall"]]
-                                  for r in ee_rows]}), flush=True)
+    result = {"tag": TAG, "n": N, "d": D, "metric": "ip",
+              "tile_qps_at_recall": qps,
+              "tile_adaptive_qps_at_recall": ee_qps,
+              "scan_impl": scan, "tile_C": tile_C,
+              "target_recall": TARGET, "k": K, "n_eval": N_EVAL,
+              "rows_T_qps_recall": [[r["L_pq"], r["qps"], r["recall"]]
+                                    for r in rows],
+              "ee_rows_T_qps_recall": [[r["L_pq"], r["qps"], r["recall"]]
+                                       for r in ee_rows]}
+    print(json.dumps(result), flush=True)
+    with open(f"eval_{TAG}_tiles.json", "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":
