@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as benchmod  # noqa: E402
 
 N = int(os.environ.get("B10M_N", 10_000_000))
-N_TRAIN = int(os.environ.get("B10M_TRAIN", 5_000_000))
+N_TRAIN = int(os.environ.get("B10M_TRAIN", 1_250_000))  # see build_10m.py
 N_EVAL = 8192
 D = int(os.environ.get("B10M_D", 200))
 SEED = 0
