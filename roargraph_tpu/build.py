@@ -618,6 +618,7 @@ def _merge_supply(proj_i: np.ndarray, supply_i: np.ndarray, M_pjbp: int):
 def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
                     *, verbose: bool = False,
                     checkpoint_dir: str | None = None,
+                    checkpoint_secs: float = 300.0,
                     phase_a: tuple | None = None):
     """Build a RoarGraph projection index.
 
@@ -694,7 +695,7 @@ def build_roargraph(base, train_knn, cfg: BuildConfig | None = None,
     # inserts bounded at 2*M happen inside, ``SupplyAddReverse:1353``) ----
     supply_i, supply_d = _phase_b_search_prune(
         adj_i, adj_d, base_dev, cfg, ep, adj_i,
-        checkpoint_dir=checkpoint_dir)
+        checkpoint_dir=checkpoint_dir, checkpoint_secs=checkpoint_secs)
     # final degree check: any node above M is re-pruned to M
     # (``LinkProjection:1224-1248``)
     over = np.flatnonzero((supply_i != PAD).sum(axis=1) > cfg.M_pjbp)

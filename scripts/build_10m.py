@@ -169,8 +169,12 @@ def main():
 
         t0 = time.time()
         ckpt = os.path.join("build", f"{TAG}_ckpt_shard{s}")
+        # checkpoint_secs > per-shard phase-B wall: the periodic phase-B
+        # state fetch (~350 MB D2H) hung the flaky worker mid-build; with
+        # ~12-min shard phase-Bs, redoing from the phase-A checkpoint is
+        # cheaper than risking the mid-phase fetch.
         g, rep = build_roargraph(shard_dev, train_ids, cfg, verbose=True,
-                                 checkpoint_dir=ckpt)
+                                 checkpoint_dir=ckpt, checkpoint_secs=3600.0)
         g.save_npz(gpath)
         walls[s] = time.time() - t_shard
         print(f"shard {s}: build {time.time() - t0:.0f}s "
