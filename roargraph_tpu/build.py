@@ -562,6 +562,13 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
             metric=cfg.metric, M=M, W=W, prune_chunk=prune_chunk)
 
         batches_done += 1
+        if batches_done % 50 == 0:
+            # bounded dispatch run-ahead: the async host loop can otherwise
+            # queue the entire phase ahead of the device (progress prints
+            # then lie, and the final fetch blocks on a backlog that looks
+            # like a hang through the relay). One scalar fetch per 50
+            # batches keeps the host ~one window ahead at negligible cost.
+            int(deg_dev[0])
         if batches_done % 100 == 0 and N > 4 * B:
             import sys
             print(f"phase B: {e}/{N}", flush=True, file=sys.stderr)
@@ -570,16 +577,28 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
         # wall once the batches themselves got fast
         if ckpt and time.perf_counter() - last_ckpt > checkpoint_secs:
             tmp = ckpt[:-4] + "_tmp.npz"
-            np.savez(tmp[:-4], supply_i=np.asarray(supply_i_dev),
-                     supply_d=np.asarray(supply_d_dev),
+            np.savez(tmp[:-4], supply_i=_fetch_rows(supply_i_dev),
+                     supply_d=_fetch_rows(supply_d_dev),
                      deg=np.asarray(deg_dev), next=np.int64(e))
             os.replace(tmp, ckpt)
             last_ckpt = time.perf_counter()
     if ckpt and os.path.exists(ckpt):
         os.remove(ckpt)
-    # np.array (not asarray): device views are read-only and the final
-    # degree-check pass mutates these in place
-    return np.array(supply_i_dev), np.array(supply_d_dev)
+    # Chunked D2H (writable copies): single multi-hundred-MB fetches have
+    # been observed to wedge the tunnel worker; bounded slices behave.
+    return _fetch_rows(supply_i_dev), _fetch_rows(supply_d_dev)
+
+
+def _fetch_rows(a, chunk_bytes: int = 32 << 20):
+    """Fetch a device array row-range-by-row-range into a writable numpy
+    array. Equivalent to ``np.array(a)`` with bounded per-transfer size."""
+    row_bytes = max(int(np.prod(a.shape[1:])) * a.dtype.itemsize, 1)
+    rows = max(chunk_bytes // row_bytes, 1)
+    out = np.empty(a.shape, a.dtype)
+    n = a.shape[0]
+    for i in range(0, n, rows):
+        out[i: i + rows] = np.asarray(a[i: i + rows])
+    return out
 
 
 def _merge_supply(proj_i: np.ndarray, supply_i: np.ndarray, M_pjbp: int):
