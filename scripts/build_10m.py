@@ -153,11 +153,15 @@ def main():
                 prec = {"default": jax.lax.Precision.DEFAULT,
                         "highest": jax.lax.Precision.HIGHEST}[
                     os.environ.get("B10M_GT_PREC", "default")]
+                # block-min per-tile selection: 5.4x the approx_min_k rate
+                # on this device (scripts/probe_gt_select.py: 4565 vs 841
+                # q/s, 99.7% id overlap at the shard GT shape)
                 ids, _ = knn(train_dev[qlo: qlo + part], shard_dev,
                              k=cfg.M_sq, metric="ip", query_batch=8192,
                              tile=int(os.environ.get("B10M_GT_TILE", 16384)),
                              precision=prec,
-                             approx=True, return_dists=False)
+                             approx=os.environ.get("B10M_GT_APPROX", "block"),
+                             return_dists=False)
                 train_ids[qlo:qhi] = ids[: qhi - qlo]
                 np.save(ppath, train_ids[qlo:qhi])
                 print(f"shard {s}: gt part {p + 1}/{n_parts} "

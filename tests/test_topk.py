@@ -62,3 +62,25 @@ def test_knn_approx_mode(rng):
     np.testing.assert_allclose(
         d, np.take_along_axis(exact, ids.astype(np.int64), axis=1),
         rtol=1e-4, atol=1e-5)
+
+
+def test_knn_block_approx_mode(rng):
+    """approx="block" pre-selects one candidate per 64-score block with a
+    VPU min-reduce (5.4x the approx_min_k rate on TPU at the 10M shard-GT
+    shape, scripts/probe_gt_select.py). Loss happens only when two true
+    top-k members share a block of one tile; at build-GT densities that is
+    tail noise. Scores must stay genuine; odd tile sizes must still work
+    (block width shrinks to divide the tile)."""
+    base = rng.standard_normal((4096, 16)).astype(np.float32)
+    q = rng.standard_normal((64, 16)).astype(np.float32)
+    oid, _ = oracle.brute_knn(q, base, 10, "ip")
+    exact = -(q @ base.T)
+    for tile in (1024, 768):  # 768 % 64 != 0: divisor fallback path
+        ids, d = topk.knn(q, base, k=10, metric="ip", tile=tile,
+                          approx="block")
+        overlap = np.mean([len(set(ids[i].tolist()) & set(oid[i].tolist()))
+                           / 10 for i in range(q.shape[0])])
+        assert overlap >= 0.85, (tile, overlap)
+        np.testing.assert_allclose(
+            d, np.take_along_axis(exact, ids.astype(np.int64), axis=1),
+            rtol=1e-4, atol=1e-5)
