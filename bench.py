@@ -128,9 +128,13 @@ def main():
             log(f"loaded cached train gt {gt_cache}")
         else:
             t0 = time.time()
+            # BENCH_GT_APPROX: "block" = block-min per-tile selection (the
+            # fast path, scripts/probe_gt_select.py), any other non-empty
+            # value = approx_min_k, unset = exact
+            apx = os.environ.get("BENCH_GT_APPROX", "")
             train_ids, _ = knn(train_q, base_dev, k=cfg.M_sq, metric=METRIC,
                                query_batch=8192,
-                               approx=bool(os.environ.get("BENCH_GT_APPROX")))
+                               approx=(apx if apx == "block" else bool(apx)))
             gt_s = time.time() - t0
             log(f"groundtruth: {gt_s:.1f}s for {N_TRAIN}x{N} k={cfg.M_sq}")
             os.makedirs("build", exist_ok=True)

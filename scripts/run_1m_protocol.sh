@@ -12,6 +12,8 @@
 set -u
 cd "$(dirname "$0")/.."
 export BENCH_N=1000000 BENCH_TRAIN=500000 BENCH_FLAT_DTYPE=bfloat16
+# train-GT block-min selection (eval GT in the sweep stays exact)
+export BENCH_GT_APPROX=block
 ok=""
 for i in $(seq 1 8); do
   if python bench.py >> /tmp/p1m.log 2>&1; then ok=1; break; fi
