@@ -118,7 +118,7 @@ def _scan_clusters_pallas(tiles_t, f, queries, *, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((_GQ, Dp), lambda i, f_ref: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # tiles stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # tiles stay in HBM
         ],
         out_specs=pl.BlockSpec((_GQ, C), lambda i, f_ref: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -398,19 +398,12 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
 # Search
 # ---------------------------------------------------------------------------
 
-def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
-    """dots[b, :] = qp[b] @ tiles_t[f[b]] via cluster-grouped batched matmul.
+def _group_queries(f, B, K, G, nq_max):
+    """Cluster-grouping index math shared by the grouped scan impls.
 
-    At serving batch sizes many queries share a frontier cluster (B >> K), so
-    per-query tile reads are redundant. Group queries by cluster on device
-    (stable sort + rank), pad each cluster's queries to rows of ``nq_max``
-    (hot clusters get multiple rows), and compute ONE batched [G, nq_max, Dp]
-    x [G, Dp, C] MXU contraction. G = K + B//nq_max is static; each tile is
-    read ~once per hop instead of once per query. Exactly the same per-query
-    scores as the per-query paths (same dot, same tile)."""
-    K, Dp, C = tiles_t.shape
-    B = qp.shape[0]
-    G = K + max(B // nq_max, 1)
+    Returns ``(tile_of [G], src [G*nq_max], pos_q [B])``: group g scans
+    cluster ``tile_of[g]``; slot j of group g holds query ``src[g*nq+j]``;
+    query b's scores land at flat position ``pos_q[b]``."""
     ord_ = jnp.argsort(f, stable=True)
     fs = f[ord_]
     idx = jnp.arange(B, dtype=jnp.int32)
@@ -428,11 +421,105 @@ def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
     pos = row * nq_max + slot                                # [B], ord_ order
     src = jnp.zeros((G * nq_max,), jnp.int32).at[pos].set(ord_)
     pos_q = jnp.zeros((B,), jnp.int32).at[ord_].set(pos)
+    return tile_of, src, pos_q
+
+
+def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
+    """dots[b, :] = qp[b] @ tiles_t[f[b]] via cluster-grouped batched matmul.
+
+    At serving batch sizes many queries share a frontier cluster (B >> K), so
+    per-query tile reads are redundant. Group queries by cluster on device
+    (stable sort + rank), pad each cluster's queries to rows of ``nq_max``
+    (hot clusters get multiple rows), and compute ONE batched [G, nq_max, Dp]
+    x [G, Dp, C] MXU contraction. G = K + B//nq_max is static; each tile is
+    read ~once per hop instead of once per query. Exactly the same per-query
+    scores as the per-query paths (same dot, same tile)."""
+    K, Dp, C = tiles_t.shape
+    B = qp.shape[0]
+    G = K + max(B // nq_max, 1)
+    tile_of, src, pos_q = _group_queries(f, B, K, G, nq_max)
     Q = qp[src].reshape(G, nq_max, Dp)
     tg = tiles_t[tile_of]                                    # [G, Dp, C]
     sg = jax.lax.dot_general(
         Q, tg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [G, nq_max, C]
+    return sg.reshape(G * nq_max, C)[pos_q]                  # [B, C]
+
+
+def _scan_group_kernel(tile_of_ref, q_ref, tiles_ref, out_ref, scratch,
+                       sems):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    nG = pl.num_programs(0)
+
+    def get_dma(slot, gg):
+        return pltpu.make_async_copy(tiles_ref.at[tile_of_ref[gg]],
+                                     scratch.at[slot], sems.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(g + 1 < nG)
+    def _():
+        get_dma((g + 1) % 2, g + 1).start()
+
+    get_dma(g % 2, g).wait()
+    tile = scratch[g % 2]                                    # [Dp, C]
+    out_ref[0] = jax.lax.dot_general(
+        q_ref[0], tile.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [nq, C]
+
+
+def _scan_clusters_grouped_pallas(tiles_t, f, qp, *, nq_max: int = 64,
+                                  interpret: bool = False):
+    """The grouped scan with the tile-gather + contraction fused in a Pallas
+    kernel: one grid step per query group, the group's tile DMA'd HBM→VMEM
+    (double-buffered) and contracted in VMEM. Eliminates the XLA grouped
+    path's ``[G, Dp, C]`` HBM staging buffer (one write + one read of ~2x
+    the tile bytes per hop); every tile byte now crosses HBM exactly once
+    per *group* touching it. Scores are the same dot as the XLA grouped
+    path (cast order included: tile→f32, q f32)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, Dp, C = tiles_t.shape
+    B = qp.shape[0]
+    if not interpret and C % 128:
+        raise ValueError(f"grouped_pallas scan needs cluster_size % 128 "
+                         f"== 0, got {C}")
+    G = K + max(B // nq_max, 1)
+    tile_of, src, pos_q = _group_queries(f, B, K, G, nq_max)
+    Q = qp[src].reshape(G, nq_max, Dp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, nq_max, Dp), lambda g, tf_ref: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),    # tiles stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, nq_max, C), lambda g, tf_ref: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, Dp, C), tiles_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    sg = pl.pallas_call(
+        _scan_group_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, nq_max, C), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * nq_max * C * Dp,
+            bytes_accessed=(G * Dp * C * tiles_t.dtype.itemsize
+                            + G * nq_max * (Dp + C) * 4),
+            transcendentals=0),
+    )(tile_of, Q, tiles_t)
     return sg.reshape(G * nq_max, C)[pos_q]                  # [B, C]
 
 
@@ -579,6 +666,10 @@ def tile_search_batch(
         ids = gids[f]                                     # [B, C]
         if scan_impl == "grouped":
             dots = _scan_clusters_grouped(tiles_t, f, qp)
+        elif scan_impl in ("grouped_pallas", "grouped_pallas_interpret"):
+            dots = _scan_clusters_grouped_pallas(
+                tiles_t, f, qp,
+                interpret=(scan_impl == "grouped_pallas_interpret"))
         elif scan_impl == "xla":
             tile = tiles_t[f]                             # [B, Dp, C] blocks
             dots = jax.lax.dot_general(

@@ -146,6 +146,24 @@ def test_grouped_scan_matches_xla(setup):
     np.testing.assert_array_equal(a[3], b[3])
 
 
+def test_grouped_pallas_scan_matches_grouped(setup):
+    """The grouped scan with the tile gather + contraction fused in the
+    Pallas kernel (interpret mode on CPU) must match the XLA grouped path:
+    identical grouping, same per-group dot."""
+    _, queries, _, tidx, gt_ids = setup
+    from roargraph_tpu.tiles import upload
+    dev = upload(tidx)
+    a = tile_search(tidx, queries[:128], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=128, device_arrays=dev, scan_impl="grouped")
+    b = tile_search(tidx, queries[:128], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=128, device_arrays=dev,
+                    scan_impl="grouped_pallas_interpret")
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(a[2], b[2])
+    np.testing.assert_array_equal(a[3], b[3])
+
+
 def test_l2_metric(setup):
     base, queries, graph, _, _ = setup
     tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="l2")
