@@ -130,3 +130,18 @@ ms, _ = loop_time(
                   c[1] + _scan_clusters_grouped(tiles_t, c[0], qp)),
     (f0, jnp.zeros((B, C), jnp.float32)))
 print(f"full:      {ms:7.3f} ms")
+
+if jax.default_backend() == "tpu":
+    from roargraph_tpu.tiles import _scan_clusters_grouped_pallas
+    for nq in (32, 64, 128):
+        ms, _ = loop_time(
+            lambda i, c: ((c[0] + 1) % K, c[1] + _scan_clusters_grouped_pallas(
+                tiles_t, c[0], qp, nq_max=nq)),
+            (f0, jnp.zeros((B, C), jnp.float32)))
+        print(f"full grouped_pallas nq={nq:3d}: {ms:7.3f} ms")
+    for nq in (32, 128):
+        ms, _ = loop_time(
+            lambda i, c: ((c[0] + 1) % K, c[1] + _scan_clusters_grouped(
+                tiles_t, c[0], qp, nq_max=nq)),
+            (f0, jnp.zeros((B, C), jnp.float32)))
+        print(f"full grouped nq={nq:3d}:        {ms:7.3f} ms")
