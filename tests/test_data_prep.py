@@ -78,3 +78,41 @@ def test_timer_registry():
     rep = reg.report()
     assert "phase_a" in rep and "phase_b" in rep
     assert set(reg.as_dict()) == {"phase_a", "phase_b"}
+
+
+def test_prep_cli_roundtrip(tmp_path, rng, capsys):
+    """The prep CLI (SURVEY §2.4 tooling surface): export-npy -> truncate ->
+    patch-npts -> info, plus webvid-pool over an .npz of videos."""
+    from roargraph_tpu.cli.prep import main as prep_main
+
+    a = rng.standard_normal((6, 8)).astype(np.float32)
+    b = rng.standard_normal((4, 8)).astype(np.float32)
+    np.save(tmp_path / "s0.npy", a)
+    np.save(tmp_path / "s1.npy", b)
+    out = str(tmp_path / "base.fbin")
+    assert prep_main(["export-npy", str(tmp_path / "s0.npy"),
+                      str(tmp_path / "s1.npy"), "--out", out]) == 0
+    assert rio.load_meta(out) == (10, 8)
+    assert prep_main(["truncate", out, "--rows", "7"]) == 0
+    got = rio.load_fbin(out)
+    np.testing.assert_allclose(got, np.concatenate([a, b])[:7])
+    # patch-npts rewrites only the header (used after a raw dd-truncation);
+    # info reads the raw header, while load_meta validates against the size
+    assert prep_main(["patch-npts", out, "--npts", "5"]) == 0
+    assert prep_main(["info", out]) == 0
+    assert "npts=5" in capsys.readouterr().out
+    with pytest.raises(ValueError, match="size wrong"):
+        rio.load_meta(out)
+    assert prep_main(["patch-npts", out, "--npts", "7"]) == 0
+    assert rio.load_meta(out) == (7, 8)
+
+    vids = {f"v{i}": rng.standard_normal((3 + i, 8)).astype(np.float32)
+            for i in range(4)}
+    np.savez(tmp_path / "vids.npz", **vids)
+    pooled = str(tmp_path / "pooled.fbin")
+    assert prep_main(["webvid-pool", str(tmp_path / "vids.npz"),
+                      "--out", pooled, "--dim", "8"]) == 0
+    got = rio.load_fbin(pooled)
+    assert got.shape == (4, 8)
+    np.testing.assert_allclose(
+        got[0], prep.webvid_mean_pool(vids["v0"]), rtol=1e-6)
