@@ -398,6 +398,14 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
 # Search
 # ---------------------------------------------------------------------------
 
+def _num_groups(K: int, B: int, nq_max: int) -> int:
+    """Tight static bound on the number of query groups: sum_c ceil(n_c/nq)
+    <= (distinct clusters in f) + B/nq <= min(K, B) + ceil(B/nq). The old
+    K-based bound made the grouped scan's staging buffers O(K) — multi-GB at
+    10M-scale K where at most B groups can ever be non-empty."""
+    return min(K, B) + -(-B // nq_max)
+
+
 def _group_queries(f, B, K, G, nq_max):
     """Cluster-grouping index math shared by the grouped scan impls.
 
@@ -436,7 +444,7 @@ def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
     scores as the per-query paths (same dot, same tile)."""
     K, Dp, C = tiles_t.shape
     B = qp.shape[0]
-    G = K + max(B // nq_max, 1)
+    G = _num_groups(K, B, nq_max)
     tile_of, src, pos_q = _group_queries(f, B, K, G, nq_max)
     Q = qp[src].reshape(G, nq_max, Dp)
     tg = tiles_t[tile_of]                                    # [G, Dp, C]
@@ -491,7 +499,7 @@ def _scan_clusters_grouped_pallas(tiles_t, f, qp, *, nq_max: int = 64,
     if not interpret and C % 128:
         raise ValueError(f"grouped_pallas scan needs cluster_size % 128 "
                          f"== 0, got {C}")
-    G = K + max(B // nq_max, 1)
+    G = _num_groups(K, B, nq_max)
     tile_of, src, pos_q = _group_queries(f, B, K, G, nq_max)
     Q = qp[src].reshape(G, nq_max, Dp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -805,15 +813,14 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
     adj_cnorms = device_arrays[6] if len(device_arrays) > 6 else None
     if scan_impl == "auto":
         # grouped scan is the fastest measured per-hop path while its
-        # [G, nq, C]/[G, nq, Dp] staging buffers stay modest; at large K
-        # (10M-scale: K ~ 56k) they would be multi-GB, and with B << K
-        # grouping has nothing to share anyway. Past that, prefer the
-        # fused-DMA Pallas kernel when its tiling constraints hold (every
-        # tile byte crosses HBM once) — the XLA gather+dot's [B, Dp, C]
-        # staging buffer costs ~3x the scan bytes per hop; keep it only as
-        # the portable fallback.
+        # [G, nq, C]/[G, nq, Dp] staging buffers stay modest (G is bounded
+        # by min(K, B) + B/nq — _num_groups — so this holds at any K for
+        # serving batch sizes). Past that, prefer the fused-DMA Pallas
+        # kernel when its tiling constraints hold (every tile byte crosses
+        # HBM once) — the XLA gather+dot's [B, Dp, C] staging buffer costs
+        # ~3x the scan bytes per hop; keep it only as the portable fallback.
         K_, Dp_, C_ = tiles.shape
-        G_ = K_ + max(batch_size // 64, 1)
+        G_ = _num_groups(K_, batch_size, 64)
         if G_ * 64 * max(Dp_, C_) * 4 <= (1 << 30):
             scan_impl = "grouped"
         elif (C_ % 128 == 0 and batch_size % _GQ == 0

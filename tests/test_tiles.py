@@ -164,6 +164,34 @@ def test_grouped_pallas_scan_matches_grouped(setup):
     np.testing.assert_array_equal(a[3], b[3])
 
 
+def test_grouped_scan_large_k_regime():
+    """K > B (the 10M-serving regime the _num_groups bound unlocks): the
+    grouped scans must still match the per-query dot exactly."""
+    import jax.numpy as jnp
+
+    from roargraph_tpu.tiles import (_num_groups, _scan_clusters_grouped,
+                                     _scan_clusters_grouped_pallas)
+
+    rng = np.random.default_rng(3)
+    K, Dp, C, B = 300, 32, 16, 64
+    assert _num_groups(K, B, 64) < K  # the bound actually engages
+    tiles_t = jnp.asarray(rng.standard_normal((K, Dp, C)).astype(np.float32))
+    qp = jnp.asarray(rng.standard_normal((B, Dp)).astype(np.float32))
+    f = jnp.asarray(rng.integers(0, K, B).astype(np.int32))
+    want = np.einsum("bd,bdc->bc", np.asarray(qp),
+                     np.asarray(tiles_t)[np.asarray(f)])
+    got = _scan_clusters_grouped(tiles_t, f, qp)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    got_p = _scan_clusters_grouped_pallas(tiles_t, f, qp, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), want, rtol=1e-5, atol=1e-5)
+    # hot-cluster splitting still correct when one cluster takes many rows
+    f_hot = jnp.asarray(np.full(B, 7, np.int32)).at[0].set(5)
+    want = np.einsum("bd,bdc->bc", np.asarray(qp),
+                     np.asarray(tiles_t)[np.asarray(f_hot)])
+    got = _scan_clusters_grouped(tiles_t, f_hot, qp, nq_max=8)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
 def test_l2_metric(setup):
     base, queries, graph, _, _ = setup
     tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="l2")
