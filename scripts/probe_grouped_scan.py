@@ -36,7 +36,8 @@ B = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
 C, Dp = 256, 224
 NQ = 64
 R = int(os.environ.get("PROBE_REPS", 30))
-G = K + max(B // NQ, 1)
+from roargraph_tpu.tiles import _num_groups  # noqa: E402
+G = _num_groups(K, B, NQ)
 
 rng = np.random.default_rng(0)
 tiles_t = jnp.asarray(rng.standard_normal((K, Dp, C)).astype(np.float32)
