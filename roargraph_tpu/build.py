@@ -569,7 +569,10 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
             # like a hang through the relay). One scalar fetch per 50
             # batches keeps the host ~one window ahead at negligible cost.
             int(deg_dev[0])
-        if batches_done % 100 == 0 and N > 4 * B:
+        if batches_done % 25 == 0 and N > 4 * B:
+            # also the liveness signal for stall watchdogs: one line per
+            # bounded-run-ahead window (prints reflect dispatch, the %50
+            # scalar fetch above keeps dispatch within a window of truth)
             import sys
             print(f"phase B: {e}/{N}", flush=True, file=sys.stderr)
         # time-based checkpoint cadence: the state is O(N) (1.4 GB at 2.5M)
