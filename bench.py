@@ -188,7 +188,9 @@ def main():
         tile_build_s = time.time() - t0
         log(f"tile index: {tile_build_s:.1f}s K={tidx.num_clusters}")
         tidx.save_npz(tile_cache)
-    if tile_dtype != "float32":
+    if tile_dtype == "int8":
+        tidx = tidx.quantize_int8()
+    elif tile_dtype != "float32":
         tidx = tidx.astype(jnp2.bfloat16)
     tile_dev = upload(tidx)
     T_values = [4, 6, 8, 12, 16, 24, 32, 48]

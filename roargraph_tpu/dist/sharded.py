@@ -586,6 +586,8 @@ class ShardedTileIndex:
       norms     [S, K, C] f32 |v|^2 (L2 score term)
       offsets   [S] global id of each shard's first row
       n_clusters [S] live clusters per shard
+      scales    [S, K] f32 per-cluster dequant scale, present iff tiles_t
+                is int8 (per-shard :meth:`TileIndex.quantize_int8`)
     """
     tiles_t: np.ndarray
     gids: np.ndarray
@@ -594,23 +596,26 @@ class ShardedTileIndex:
     norms: np.ndarray
     offsets: np.ndarray
     n_clusters: np.ndarray
+    scales: np.ndarray | None = None
 
     @property
     def num_shards(self) -> int:
         return self.tiles_t.shape[0]
 
     def save_npz(self, path: str) -> None:
+        extra = {} if self.scales is None else dict(scales=self.scales)
         np.savez_compressed(
             path, tiles_t=self.tiles_t, gids=self.gids,
             centroids=self.centroids, adj=self.adj, norms=self.norms,
-            offsets=self.offsets, n_clusters=self.n_clusters)
+            offsets=self.offsets, n_clusters=self.n_clusters, **extra)
 
     @staticmethod
     def load_npz(path: str) -> "ShardedTileIndex":
         with np.load(path) as z:
             return ShardedTileIndex(
                 z["tiles_t"], z["gids"], z["centroids"], z["adj"],
-                z["norms"], z["offsets"], z["n_clusters"])
+                z["norms"], z["offsets"], z["n_clusters"],
+                scales=z["scales"] if "scales" in z else None)
 
 
 def build_sharded_tiles(index: ShardedRoarGraph, *, cluster_size: int = 256,
@@ -639,7 +644,7 @@ def build_sharded_tiles(index: ShardedRoarGraph, *, cluster_size: int = 256,
         ti = build_tiles(g, shard_base, cluster_size=cluster_size, Mc=Mc,
                          metric=metric, fill=fill)
         if tile_dtype is not None:
-            ti = ti.astype(tile_dtype)
+            ti = ti.astype(tile_dtype)  # "int8" routes to quantize_int8()
         per_shard.append(ti)
         if verbose:
             print(f"shard {s}: {ti.num_clusters} clusters of "
@@ -650,28 +655,36 @@ def build_sharded_tiles(index: ShardedRoarGraph, *, cluster_size: int = 256,
     D = index.base.shape[2]
     Dp = _pad_d(D)
     dt = per_shard[0].tiles.dtype
+    quantized = per_shard[0].scales is not None
     tiles_t = np.zeros((S, K, Dp, C), dt)
     gids = np.full((S, K, C), PAD, np.int32)
     cents = np.zeros((S, K, D), np.float32)
     adj = np.full((S, K, Mc), PAD, np.int32)
     norms = np.zeros((S, K, C), np.float32)
+    # padding clusters keep scale 1.0 so their (zero) dots stay finite
+    scales = np.ones((S, K), np.float32) if quantized else None
     for s, ti in enumerate(per_shard):
         kk = ti.num_clusters
-        tt, nn = _to_scan_layout(jnp.asarray(ti.tiles), Dp=Dp)
+        sc = None if ti.scales is None else jnp.asarray(ti.scales)
+        tt, nn = _to_scan_layout(jnp.asarray(ti.tiles), Dp=Dp, scales=sc)
         tiles_t[s, :kk] = np.asarray(tt)
         norms[s, :kk] = np.asarray(nn)
         gids[s, :kk] = ti.gids
         cents[s, :kk] = ti.centroids
         adj[s, :kk, : ti.adj.shape[1]] = ti.adj
+        if quantized:
+            scales[s, :kk] = ti.scales
     return ShardedTileIndex(
         tiles_t=tiles_t, gids=gids, centroids=cents, adj=adj, norms=norms,
         offsets=np.asarray(index.offsets, np.int32),
-        n_clusters=np.array([t.num_clusters for t in per_shard], np.int32))
+        n_clusters=np.array([t.num_clusters for t in per_shard], np.int32),
+        scales=scales)
 
 
 def sharded_tile_search_step(mesh: Mesh, *, k: int, T: int, Lc: int,
                              metric: Metric, scan_impl: str = "grouped",
                              has_nbr_table: bool = False,
+                             has_scales: bool = False,
                              nbr_impl: str = "auto"):
     """SPMD tile search: per-shard tile walk (local clusters only, masked by
     ``n_clusters``), then ONE ``all_gather`` of the [B, k] per-shard results
@@ -681,19 +694,23 @@ def sharded_tile_search_step(mesh: Mesh, *, k: int, T: int, Lc: int,
     ``has_nbr_table``: two extra sharded inputs (adj_cents [S, K, Mc, D],
     adj_cnorms [S, K, Mc]) feed the dense neighbor-score path — the large-K
     configuration, where the per-element score gather would dominate the
-    hop on every shard."""
+    hop on every shard. ``has_scales``: one extra sharded input
+    (scales [S, K], int8 tiles) — per-shard dots are descaled locally, so
+    the cross-shard merge compares absolute (dequantized) scores."""
     from ..tiles import tile_search_batch
 
     def local(tiles_t, gids, cents, adj, norms, offsets, ncl, *rest):
+        rest = list(rest)
+        queries = rest.pop()
+        ac = acn = sc = None
         if has_nbr_table:
-            adj_cents, adj_cnorms, queries = rest
-            ac, acn = adj_cents[0], adj_cnorms[0]
-        else:
-            (queries,) = rest
-            ac = acn = None
+            ac, acn = rest[0][0], rest[1][0]
+            rest = rest[2:]
+        if has_scales:
+            sc = rest[0][0]
         ids, d, cmps, hops = tile_search_batch(
             tiles_t[0], gids[0], cents[0], adj[0], queries, norms[0],
-            ac, acn,
+            ac, acn, sc,
             k=k, T=T, Lc=Lc, metric=metric, scan_impl=scan_impl,
             valid_clusters=ncl[0], nbr_impl=nbr_impl)
         gid = jnp.where(ids >= 0, ids + offsets[0], jnp.int32(BIG))
@@ -707,7 +724,7 @@ def sharded_tile_search_step(mesh: Mesh, *, k: int, T: int, Lc: int,
         out_i = jnp.where(si[:, :k] == BIG, -1, si[:, :k])
         return out_i, sd[:, :k], cmps[None, :], hops[None, :]
 
-    n_sharded = 9 if has_nbr_table else 7
+    n_sharded = 7 + (2 if has_nbr_table else 0) + (1 if has_scales else 0)
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("shard"),) * n_sharded + (P("dp"),),
@@ -750,11 +767,18 @@ def sharded_tile_search(index: ShardedTileIndex, queries, *, k: int = 10,
         safe = np.clip(index.adj, 0, K - 1)
         ac = index.centroids[np.arange(S)[:, None, None], safe]
         ac = np.where((index.adj == PAD)[..., None], 0.0, ac)  # [S,K,Mc,D]
-        extra = (jnp.asarray(ac.astype(index.tiles_t.dtype)),
+        # centroid table stays float even for int8 tiles (Mc/C-th the size,
+        # only ranks the frontier) — mirrors tiles.upload()
+        cdt = (jnp.bfloat16 if index.scales is not None
+               else index.tiles_t.dtype)
+        extra = (jnp.asarray(ac, dtype=cdt),
                  jnp.asarray((ac.astype(np.float32) ** 2).sum(axis=3)))
+    if index.scales is not None:
+        extra = extra + (jnp.asarray(index.scales),)
     step = sharded_tile_search_step(mesh, k=k, T=T, Lc=Lc, metric=metric,
                                     scan_impl=scan_impl,
                                     has_nbr_table=nbr_table,
+                                    has_scales=index.scales is not None,
                                     nbr_impl=nbr_impl)
     ids, d, cmps, hops = step(
         jnp.asarray(index.tiles_t), jnp.asarray(index.gids),

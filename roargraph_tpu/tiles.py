@@ -157,6 +157,8 @@ class TileIndex:
                     term of the early-exit score bound
                     (``score(q, x) >= s_centroid - |q| * R`` by
                     Cauchy-Schwarz for IP/cosine; the L2 analog squares).
+    - ``scales``    [K] f32, present iff ``tiles`` are int8-quantized
+                    (:meth:`quantize_int8`): dequant = tiles * scales[k].
     """
     tiles: np.ndarray
     gids: np.ndarray
@@ -164,6 +166,7 @@ class TileIndex:
     adj: np.ndarray
     ep: int
     radii: np.ndarray | None = None
+    scales: np.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:
@@ -175,6 +178,8 @@ class TileIndex:
 
     def save_npz(self, path: str) -> None:
         extra = {} if self.radii is None else dict(radii=self.radii)
+        if self.scales is not None:
+            extra["scales"] = self.scales
         np.savez_compressed(path, tiles=self.tiles, gids=self.gids,
                             centroids=self.centroids, adj=self.adj,
                             ep=np.int64(self.ep), **extra)
@@ -184,7 +189,8 @@ class TileIndex:
         with np.load(path) as z:
             return TileIndex(z["tiles"], z["gids"], z["centroids"],
                              z["adj"], int(z["ep"]),
-                             radii=z["radii"] if "radii" in z else None)
+                             radii=z["radii"] if "radii" in z else None,
+                             scales=z["scales"] if "scales" in z else None)
 
     def with_radii(self) -> "TileIndex":
         """Compute ``radii`` from tiles/centroids if absent (old caches).
@@ -198,8 +204,10 @@ class TileIndex:
                                      * self.tiles.shape[2] * 4, 1))
         for s in range(0, K, CH):
             e = min(s + CH, K)
-            diff = (self.tiles[s:e].astype(np.float32)
-                    - self.centroids[s:e, None, :])
+            t = self.tiles[s:e].astype(np.float32)
+            if self.scales is not None:
+                t = t * self.scales[s:e, None, None]
+            diff = t - self.centroids[s:e, None, :]
             r = np.sqrt(np.maximum((diff * diff).sum(axis=2), 0))
             r = np.where(self.gids[s:e] != PAD, r, 0.0)
             out[s:e] = r.max(axis=1)
@@ -208,7 +216,38 @@ class TileIndex:
     def astype(self, dtype) -> "TileIndex":
         """Cast tile storage (e.g. bfloat16 halves scan bytes; scores then
         accumulate in f32 via ``preferred_element_type``)."""
+        if str(dtype) == "int8":
+            return self.quantize_int8()
+        if self.scales is not None:
+            raise ValueError("TileIndex is int8-quantized; cannot recast")
         return dataclasses.replace(self, tiles=self.tiles.astype(dtype))
+
+    def quantize_int8(self) -> "TileIndex":
+        """Per-cluster symmetric int8 quantization of the tile storage:
+        ``scales[k] = max|tiles[k]| / 127``, stored value = round(x/scale).
+        Halves scan bytes vs bf16 (quarters vs f32) — the per-hop cluster
+        scan is the tile engine's HBM floor (DESIGN.md hop anatomy), so the
+        byte cut is a near-proportional QPS lever. Scores are descaled to
+        absolute units inside :func:`tile_search_batch`, so the running
+        top-k merge across clusters stays exact up to quantization noise
+        (relative err ~ 1/254 per coordinate, mean-zero over a 200-d dot).
+        Computes ``radii`` first (they need the unquantized values)."""
+        if self.scales is not None:
+            return self
+        idx = self.with_radii()
+        K, C, D = idx.tiles.shape
+        scales = np.zeros(K, np.float32)
+        q = np.zeros((K, C, D), np.int8)
+        CH = max(1, (1 << 28) // max(C * D * 4, 1))  # chunk the f32 temp
+        for s in range(0, K, CH):
+            e = min(s + CH, K)
+            t = idx.tiles[s:e].astype(np.float32)
+            maxabs = np.abs(t).reshape(e - s, -1).max(axis=1)
+            sc = (np.maximum(maxabs, 1e-30) / 127.0).astype(np.float32)
+            scales[s:e] = sc
+            q[s:e] = np.clip(np.rint(t / sc[:, None, None]),
+                             -127, 127).astype(np.int8)
+        return dataclasses.replace(idx, tiles=q, scales=scales)
 
 
 # ---------------------------------------------------------------------------
@@ -448,6 +487,8 @@ def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
     tile_of, src, pos_q = _group_queries(f, B, K, G, nq_max)
     Q = qp[src].reshape(G, nq_max, Dp)
     tg = tiles_t[tile_of]                                    # [G, Dp, C]
+    if tg.dtype == jnp.int8:
+        tg = tg.astype(jnp.bfloat16)  # exact for ±127; fuses into the dot
     sg = jax.lax.dot_general(
         Q, tg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # [G, nq_max, C]
@@ -546,6 +587,10 @@ def tile_search_batch(
                              # centroids (upload()); enables the dense
                              # neighbor-score path at large K
     adj_cnorms: jnp.ndarray | None = None,  # [K, Mc] |c|^2 (L2 dense path)
+    scales: jnp.ndarray | None = None,  # [K] f32 per-cluster dequant scale
+                             # (int8 tiles, TileIndex.quantize_int8): hop
+                             # dots are descaled to absolute units so the
+                             # cross-cluster top-k merge stays valid
     *,
     k: int,
     T: int,                  # clusters scanned per query (the sweep knob)
@@ -680,12 +725,18 @@ def tile_search_batch(
                 interpret=(scan_impl == "grouped_pallas_interpret"))
         elif scan_impl == "xla":
             tile = tiles_t[f]                             # [B, Dp, C] blocks
+            if tile.dtype == jnp.int8:
+                # int8 values are exact in bf16 (8 mantissa bits cover
+                # ±127); the convert fuses into the dot's operand read
+                tile = tile.astype(jnp.bfloat16)
             dots = jax.lax.dot_general(
                 tile, qp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)       # [B, C]
         else:
             dots = _scan_clusters_pallas(
                 tiles_t, f, qp, interpret=(scan_impl == "pallas_interpret"))
+        if scales is not None:
+            dots = dots * scales[f][:, None]
         if metric is Metric.L2:
             qn = jnp.sum(qf * qf, axis=1, keepdims=True)
             sc = qn + norms[f] - 2.0 * dots
@@ -771,7 +822,8 @@ def tile_search_batch(
     static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
                      "early_exit", "exit_slack", "nbr_impl"))
 def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms,
-                        radii=None, adj_cents=None, adj_cnorms=None, *,
+                        radii=None, adj_cents=None, adj_cnorms=None,
+                        scales=None, *,
                         k, T, Lc, metric, use_graph,
                         scan_impl, early_exit=False, exit_slack=None,
                         nbr_impl="auto"):
@@ -782,7 +834,7 @@ def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms,
     from .search import pack_results
     ids, dists, cmps, hops = tile_search_batch(
         tiles_t, gids, centroids, adj, queries, norms,
-        adj_cents, adj_cnorms, k=k, T=T, Lc=Lc,
+        adj_cents, adj_cnorms, scales, k=k, T=T, Lc=Lc,
         metric=metric, use_graph=use_graph, scan_impl=scan_impl,
         radii=radii, early_exit=early_exit, exit_slack=exit_slack,
         nbr_impl=nbr_impl)
@@ -811,6 +863,9 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
     tiles, gids, cents, adj, norms = device_arrays[:5]
     adj_cents = device_arrays[5] if len(device_arrays) > 5 else None
     adj_cnorms = device_arrays[6] if len(device_arrays) > 6 else None
+    scales = device_arrays[7] if len(device_arrays) > 7 else None
+    if scales is None and index.scales is not None:
+        scales = jnp.asarray(index.scales)
     if scan_impl == "auto":
         # grouped scan is the fastest measured per-hop path while its
         # [G, nq, C]/[G, nq, Dp] staging buffers stay modest (G is bounded
@@ -850,7 +905,7 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
             qb = jnp.pad(qb, ((0, Bsz - (e - s)), (0, 0)))
         res = _tile_search_packed(tiles, gids, cents, adj, qb,
                                   norms, radii_dev, adj_cents, adj_cnorms,
-                                  k=k, T=T, Lc=Lc,
+                                  scales, k=k, T=T, Lc=Lc,
                                   metric=metric, use_graph=use_graph,
                                   scan_impl=scan_impl, early_exit=early_exit,
                                   exit_slack=exit_slack, nbr_impl=nbr_impl)
@@ -863,9 +918,11 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
 
 
 @functools.partial(jax.jit, static_argnames=("Dp",))
-def _to_scan_layout(tiles, *, Dp):
+def _to_scan_layout(tiles, *, Dp, scales=None):
     tt = jnp.pad(tiles, ((0, 0), (0, 0), (0, Dp - tiles.shape[2])))
     norms = jnp.sum(tiles.astype(jnp.float32) ** 2, axis=2)
+    if scales is not None:  # int8 storage: |v|^2 in absolute (dequant) units
+        norms = norms * jnp.square(scales)[:, None]
     return jnp.swapaxes(tt, 1, 2), norms
 
 
@@ -883,7 +940,10 @@ def upload(index: TileIndex, *, nbr_table: bool | None = None) -> tuple:
     at 10M-scale bf16, repaid every hop)."""
     D = index.tiles.shape[2]
     K, Mc = index.adj.shape
-    tiles_t, norms = _to_scan_layout(jnp.asarray(index.tiles), Dp=_pad_d(D))
+    scales_dev = (None if index.scales is None
+                  else jnp.asarray(index.scales))
+    tiles_t, norms = _to_scan_layout(jnp.asarray(index.tiles),
+                                     Dp=_pad_d(D), scales=scales_dev)
     if nbr_table is None:
         nbr_table = 8192 * Mc * K * 4 > (1 << 30)
     adj_cents = adj_cnorms = None
@@ -892,7 +952,12 @@ def upload(index: TileIndex, *, nbr_table: bool | None = None) -> tuple:
         ac = index.centroids[safe]                       # [K, Mc, D] f32
         ac = np.where((index.adj == PAD)[:, :, None], 0.0, ac)
         adj_cnorms = jnp.asarray((ac.astype(np.float32) ** 2).sum(axis=2))
-        adj_cents = jnp.asarray(ac.astype(index.tiles.dtype))
+        # centroid table stays float even for int8 tiles (it is Mc/C-th the
+        # size and only ranks the frontier)
+        if index.scales is not None:
+            adj_cents = jnp.asarray(ac, dtype=jnp.bfloat16)
+        else:
+            adj_cents = jnp.asarray(ac.astype(index.tiles.dtype))
     return (tiles_t, jnp.asarray(index.gids),
             jnp.asarray(index.centroids), jnp.asarray(index.adj), norms,
-            adj_cents, adj_cnorms)
+            adj_cents, adj_cnorms, scales_dev)

@@ -136,15 +136,51 @@ def main():
                               verbose="stderr", raw=True, knob="T")
         ee_qps = reval.qps_at_recall(ee_rows, TARGET)
 
+    # int8 leg: per-cluster symmetric quantization halves scan bytes vs
+    # bf16 — the per-hop cluster scan is the HBM floor at this scale
+    # (DESIGN.md hop anatomy), so this is the direct bandwidth lever.
+    # Free the bf16 device arrays first: bf16 (~5.7 GB at 10M) + int8
+    # (~2.9 GB) don't need to coexist in HBM.
+    q8_rows, q8_qps = [], None
+    if not os.environ.get("SERVE_NO_INT8"):
+        del dev
+        q8 = tidx.quantize_int8() if tidx.scales is None else tidx
+        del tidx
+        dev8 = upload(q8)
+        scan8 = os.environ.get("SERVE_SCAN", "auto")
+        if scan8 == "auto":
+            try:
+                tile_search(q8, jnp.asarray(eval_q[:8192]), k=K, T=2, Lc=4,
+                            metric="ip", batch_size=8192,
+                            device_arrays=dev8)
+            except Exception as e:  # noqa: BLE001 — any kernel fault
+                print(f"int8 auto scan smoke failed ({type(e).__name__}: "
+                      f"{e}); forcing xla scan", flush=True)
+                scan8 = "xla"
+
+        def tile8_fn(T):
+            return tile_search(q8, jnp.asarray(eval_q), k=K, T=T,
+                               Lc=max(2 * T, 16), metric="ip",
+                               batch_size=8192, device_arrays=dev8,
+                               scan_impl=scan8)
+
+        q8_rows = reval.sweep(tile8_fn, T_values, gt_ids, k=K, metric="ip",
+                              n_queries=N_EVAL, verbose="stderr", raw=True,
+                              knob="T")
+        q8_qps = reval.qps_at_recall(q8_rows, TARGET)
+
     result = {"tag": TAG, "n": N, "d": D, "metric": "ip",
               "tile_qps_at_recall": qps,
               "tile_adaptive_qps_at_recall": ee_qps,
+              "tile_int8_qps_at_recall": q8_qps,
               "scan_impl": scan, "tile_C": tile_C,
               "target_recall": TARGET, "k": K, "n_eval": N_EVAL,
               "rows_T_qps_recall": [[r["L_pq"], r["qps"], r["recall"]]
                                     for r in rows],
               "ee_rows_T_qps_recall": [[r["L_pq"], r["qps"], r["recall"]]
-                                       for r in ee_rows]}
+                                       for r in ee_rows],
+              "int8_rows_T_qps_recall": [[r["L_pq"], r["qps"], r["recall"]]
+                                         for r in q8_rows]}
     print(json.dumps(result), flush=True)
     with open(f"eval_{TAG}_tiles.json", "w") as f:
         json.dump(result, f, indent=1)

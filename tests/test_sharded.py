@@ -202,6 +202,65 @@ def test_sharded_tile_search_matches_single_device(rng):
     assert reval.recall_at_k(ids, gt_ids, 10) > 0.7
 
 
+def test_sharded_tile_search_int8(rng, tmp_path):
+    """int8 sharded tiles: the SPMD search (per-shard descale + cross-shard
+    merge in absolute units) must be bit-identical to host-merging the
+    single-device int8 tile engine over the same shards, and the stacked
+    layout must roundtrip scales through save/load."""
+    from roargraph_tpu.dist import build_sharded_tiles, sharded_tile_search
+    from roargraph_tpu.dist.sharded import ShardedTileIndex
+    from roargraph_tpu.tiles import build_tiles, tile_search
+    from roargraph_tpu.graph import PaddedGraph
+
+    base, train_q = make_crossmodal(rng, n_base=910, n_query=600, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=48, dim=16)[1]
+    cfg = rt.BuildConfig(metric="ip", M_sq=20, M_pjbp=6, L_pjpq=30,
+                         prune_batch=256, search_batch=128)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=4)
+    stidx = build_sharded_tiles(index, cluster_size=64, Mc=8, metric="ip",
+                                fill=0.75, tile_dtype="int8")
+    assert stidx.tiles_t.dtype == np.int8 and stidx.scales.shape[0] == 4
+
+    p = str(tmp_path / "stiles8.npz")
+    stidx.save_npz(p)
+    st2 = ShardedTileIndex.load_npz(p)
+    np.testing.assert_array_equal(st2.tiles_t, stidx.tiles_t)
+    np.testing.assert_allclose(st2.scales, stidx.scales)
+
+    T = 6
+    ids, dists = sharded_tile_search(st2, eval_q, k=10, T=T, metric="ip",
+                                     mesh=make_mesh(4, 2))
+
+    all_i, all_d = [], []
+    for s in range(4):
+        size = int(index.shard_sizes[s])
+        g = PaddedGraph(ids=index.adj[s, :size], ep=int(index.eps[s]))
+        ti = build_tiles(g, index.base[s, :size], cluster_size=64, Mc=8,
+                         metric="ip", fill=0.75).quantize_int8()
+        si, sd, _, _ = tile_search(ti, eval_q, k=10, T=T, Lc=2 * T,
+                                   metric="ip")
+        gid = np.where(si >= 0, si.astype(np.int64) + index.offsets[s],
+                       np.int64(2**31 - 1))
+        all_i.append(gid)
+        all_d.append(np.where(si >= 0, sd, np.inf))
+    cat_i = np.concatenate(all_i, axis=1)
+    cat_d = np.concatenate(all_d, axis=1)
+    order = np.lexsort((cat_i, cat_d), axis=1)
+    ref_i = np.take_along_axis(cat_i, order, axis=1)[:, :10]
+    ref_d = np.take_along_axis(cat_d, order, axis=1)[:, :10]
+    ref_i = np.where(ref_i == 2**31 - 1, -1, ref_i)
+    np.testing.assert_array_equal(ids, ref_i)
+    np.testing.assert_allclose(dists, np.where(np.isfinite(ref_d), ref_d,
+                                               np.inf), rtol=1e-5)
+
+    gt_ids, _ = knn(eval_q, base, k=10, metric="ip")
+    assert reval.recall_at_k(ids, gt_ids, 10) > 0.7
+
+
 def test_sharded_search_with_seeds(rng):
     base, train_q = make_crossmodal(rng, n_base=600, n_query=500, dim=16)
     eval_q = make_crossmodal(rng, n_base=1, n_query=48, dim=16)[1]

@@ -102,6 +102,84 @@ def test_bf16_storage(setup):
     assert recall(ids, gt_ids) > recall(ids32, gt_ids) - 0.03
 
 
+def test_int8_quantization_error_bound(setup):
+    _, _, _, tidx, _ = setup
+    q8 = tidx.quantize_int8()
+    assert q8.tiles.dtype == np.int8
+    assert q8.scales.shape == (tidx.num_clusters,)
+    # symmetric per-cluster quantization: |x - s*q| <= s/2 elementwise
+    deq = q8.tiles.astype(np.float32) * q8.scales[:, None, None]
+    err = np.abs(deq - tidx.tiles.astype(np.float32))
+    assert (err <= q8.scales[:, None, None] * 0.5 + 1e-7).all()
+    # idempotent; float recast of a quantized index must refuse
+    assert q8.quantize_int8() is q8
+    with pytest.raises(ValueError):
+        q8.astype(np.float32)
+
+
+def test_int8_storage_recall_and_scores(setup):
+    """int8 tiles: recall within noise of f32; returned dists match the
+    dequantized-vector scores exactly (descale correctness)."""
+    base, queries, _, tidx, gt_ids = setup
+    q8 = tidx.quantize_int8()
+    ids8, d8, cmps8, hops8 = tile_search(q8, queries, k=10, T=16, Lc=32,
+                                         metric="ip", batch_size=256)
+    ids32, _, cmps32, hops32 = tile_search(tidx, queries, k=10, T=16, Lc=32,
+                                           metric="ip", batch_size=256)
+    assert recall(ids8, gt_ids) > recall(ids32, gt_ids) - 0.03
+    # same clusters scanned (frontier rides f32 centroids either way)
+    assert np.array_equal(np.asarray(hops8), np.asarray(hops32))
+    # score parity vs dequantized vectors for the returned ids
+    deq = q8.tiles.astype(np.float32) * q8.scales[:, None, None]
+    flat = {int(g): deq[k, c] for k in range(q8.num_clusters)
+            for c, g in enumerate(q8.gids[k]) if g != PAD}
+    for i in range(0, queries.shape[0], 37):
+        for j in range(10):
+            g = int(ids8[i, j])
+            if g < 0:
+                continue
+            want = -float(np.dot(queries[i], flat[g]))
+            assert abs(float(d8[i, j]) - want) <= 2e-3 * max(1, abs(want))
+
+
+def test_int8_l2_metric(setup):
+    """L2 with int8 tiles: norms are dequantized units, scores consistent."""
+    base, queries, _, _, _ = setup
+    gt_l2, _ = knn(queries, base, k=10, metric="l2")
+    from roargraph_tpu.build import build_roargraph
+    # reuse the ip-built graph structure via a fresh tile build under L2
+    tidx = build_tiles(_graph_of(setup), base, cluster_size=64, Mc=8,
+                       metric="l2")
+    q8 = tidx.quantize_int8()
+    K = q8.num_clusters
+    ids, dists, _, _ = tile_search(q8, queries, k=10, T=K, Lc=K,
+                                   metric="l2", batch_size=256)
+    assert recall(ids, gt_l2) > 0.97  # full scan, quantization noise only
+    deq = q8.tiles.astype(np.float32) * q8.scales[:, None, None]
+    flat = {int(g): deq[k, c] for k in range(K)
+            for c, g in enumerate(q8.gids[k]) if g != PAD}
+    i = 11
+    g = int(ids[i, 0])
+    want = float(((queries[i] - flat[g]) ** 2).sum())
+    assert abs(float(dists[i, 0]) - want) <= 2e-3 * max(1.0, abs(want))
+
+
+def _graph_of(setup):
+    return setup[2]
+
+
+def test_int8_npz_roundtrip(tmp_path, setup):
+    _, _, _, tidx, _ = setup
+    q8 = tidx.quantize_int8()
+    p = str(tmp_path / "tiles8.npz")
+    q8.save_npz(p)
+    t2 = TileIndex.load_npz(p)
+    assert t2.tiles.dtype == np.int8
+    assert np.array_equal(t2.tiles, q8.tiles)
+    assert np.allclose(t2.scales, q8.scales)
+    assert np.allclose(t2.radii, q8.radii)
+
+
 def test_npz_roundtrip(tmp_path, setup):
     _, _, _, tidx, _ = setup
     p = str(tmp_path / "tiles.npz")
