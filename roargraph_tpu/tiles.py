@@ -575,7 +575,7 @@ def _scan_clusters_grouped_pallas(tiles_t, f, qp, *, nq_max: int = 64,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
-                     "early_exit", "exit_slack", "nbr_impl"))
+                     "early_exit", "exit_slack", "nbr_impl", "merge_every"))
 def tile_search_batch(
     tiles_t: jnp.ndarray,    # [K, D_pad, C] transposed scan layout (upload())
     gids: jnp.ndarray,       # [K, C] int32
@@ -619,6 +619,14 @@ def tile_search_batch(
                              # "gather" (per-element s gather — fallback).
                              # "auto" picks onehot while [B, Mc, K] <= 1 GB,
                              # else dense when the table is present.
+    merge_every: int = 1,    # defer the running top-k merge across this
+                             # many hops (ONE top_k over merge_every*C
+                             # candidates instead of merge_every passes):
+                             # bit-identical results — the walk depends
+                             # only on centroid scores and clusters
+                             # partition the base — at 1/merge_every of the
+                             # merge cost. Requires early_exit=False (the
+                             # stop rule reads the running k-th result).
     exit_slack: float | None = None,  # bound tightness: 1.0 = the provable
                              # worst-case Cauchy-Schwarz bound (rarely stops
                              # — the residual is near-orthogonal to q in
@@ -640,6 +648,9 @@ def tile_search_batch(
     Lc = min(Lc, K)
     if metric is Metric.L2 and norms is None:
         raise ValueError("L2 tile search needs precomputed norms (upload())")
+    if merge_every > 1 and early_exit:
+        raise ValueError("merge_every > 1 is incompatible with early_exit "
+                         "(the stop rule reads the running k-th result)")
     # neighbor centroid-score lookup: a [B, Mc] element gather costs ~15 ns
     # per element on TPU; the one-hot einsum form runs as dense vector math
     # (~2x faster) but materializes [B, Mc, K] — only worth it while that
@@ -702,8 +713,13 @@ def tile_search_batch(
         # improvable set only shrinks (rk_d is monotone), so no livelock
         return unexp & (bnd < rk_d[:, k - 1][:, None])
 
-    def hop(t, state):
-        q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops = state
+    def expand(t, wstate, rk_d):
+        """One cluster expansion WITHOUT the running top-k merge: frontier
+        select, xlist slot, cluster scan/score, queue update, counters.
+        Returns the walk state plus this hop's (scores, ids) candidates —
+        the walk depends only on centroid scores (and, under early_exit,
+        on rk_d), so the rk merge can be deferred across hops."""
+        q_d, q_i, q_e, xlist, cmps, hops = wstate
         unexp = eligible(q_d, q_i, q_e, rk_d)
         active = jnp.any(unexp, axis=1)
         jj = jnp.argmax(unexp, axis=1)
@@ -745,13 +761,6 @@ def tile_search_batch(
         live = (ids != PAD) & active[:, None]
         sc = jnp.where(live, sc, jnp.inf)
         ids = jnp.where(live, ids, BIG)
-
-        # merge into the running top-k
-        all_d = jnp.concatenate([rk_d, sc], axis=1)
-        all_i = jnp.concatenate([rk_i, ids], axis=1)
-        neg, pos = jax.lax.top_k(-all_d, k)
-        rk_d = -neg
-        rk_i = jnp.take_along_axis(all_i, pos, axis=1)
 
         if use_graph:
             # merge unvisited graph neighbors into the cluster queue, ranked
@@ -796,10 +805,52 @@ def tile_search_batch(
 
         cmps = cmps + jnp.where(active, jnp.sum(live, axis=1), 0)
         hops = hops + active.astype(jnp.int32)
+        return (q_d, q_i, q_e, xlist, cmps, hops), sc, ids
+
+    def merge_rk(rk_d, rk_i, sc, ids):
+        all_d = jnp.concatenate([rk_d, sc], axis=1)
+        all_i = jnp.concatenate([rk_i, ids], axis=1)
+        neg, pos = jax.lax.top_k(-all_d, k)
+        return -neg, jnp.take_along_axis(all_i, pos, axis=1)
+
+    def hop(t, state):
+        q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops = state
+        w, sc, ids = expand(t, (q_d, q_i, q_e, xlist, cmps, hops), rk_d)
+        rk_d, rk_i = merge_rk(rk_d, rk_i, sc, ids)
+        q_d, q_i, q_e, xlist, cmps, hops = w
         return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops
 
+    def hop_group(sz, base=None):
+        """sz expansions then ONE rk merge over their sz*C candidates —
+        clusters partition the base (gids disjoint across hops) and the
+        walk ignores rk without early_exit, so the result is bit-identical
+        to per-hop merging while paying 1/sz of the merge passes.
+        ``base``: absolute hop index of the group's first expansion
+        (defaults to g*sz for the fori_loop over full groups)."""
+        def body(g, state):
+            q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops = state
+            t0 = g * sz if base is None else base
+            w = (q_d, q_i, q_e, xlist, cmps, hops)
+            scs, idss = [], []
+            for j in range(sz):  # static unroll
+                w, sc, ids = expand(t0 + j, w, rk_d)
+                scs.append(sc)
+                idss.append(ids)
+            rk_d, rk_i = merge_rk(rk_d, rk_i,
+                                  jnp.concatenate(scs, axis=1),
+                                  jnp.concatenate(idss, axis=1))
+            q_d, q_i, q_e, xlist, cmps, hops = w
+            return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops
+        return body
+
     state = (q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops)
-    if early_exit:
+    if merge_every > 1 and not early_exit:
+        Mh = min(merge_every, T)
+        n_g = T // Mh
+        state = jax.lax.fori_loop(0, n_g, hop_group(Mh), state)
+        if T - n_g * Mh:
+            state = hop_group(T - n_g * Mh, base=n_g * Mh)(0, state)
+    elif early_exit:
         # batch-level exit too: the loop ends when EVERY query has stopped
         def w_cond(ts):
             t, st = ts
@@ -820,13 +871,13 @@ def tile_search_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
-                     "early_exit", "exit_slack", "nbr_impl"))
+                     "early_exit", "exit_slack", "nbr_impl", "merge_every"))
 def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms,
                         radii=None, adj_cents=None, adj_cnorms=None,
                         scales=None, *,
                         k, T, Lc, metric, use_graph,
                         scan_impl, early_exit=False, exit_slack=None,
-                        nbr_impl="auto"):
+                        nbr_impl="auto", merge_every=1):
     """tile_search_batch + on-device packing of the four results into ONE
     [B, 2k+2] int32 array (dists bitcast). The serving host fetches a single
     buffer per batch — through a high-RTT device relay, four separate D2H
@@ -837,7 +888,7 @@ def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms,
         adj_cents, adj_cnorms, scales, k=k, T=T, Lc=Lc,
         metric=metric, use_graph=use_graph, scan_impl=scan_impl,
         radii=radii, early_exit=early_exit, exit_slack=exit_slack,
-        nbr_impl=nbr_impl)
+        nbr_impl=nbr_impl, merge_every=merge_every)
     return pack_results(ids, dists, cmps, hops)
 
 
@@ -846,7 +897,8 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
                 use_graph: bool = True, batch_size: int = 2048,
                 device_arrays: tuple | None = None,
                 scan_impl: str = "auto", early_exit: bool = False,
-                exit_slack: float | None = None, nbr_impl: str = "auto"):
+                exit_slack: float | None = None, nbr_impl: str = "auto",
+                merge_every: int = 1):
     """Host wrapper: loop device-sized query blocks; returns numpy
     (ids [Q, k], dists [Q, k], cmps [Q], hops [Q]).
 
@@ -908,7 +960,8 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
                                   scales, k=k, T=T, Lc=Lc,
                                   metric=metric, use_graph=use_graph,
                                   scan_impl=scan_impl, early_exit=early_exit,
-                                  exit_slack=exit_slack, nbr_impl=nbr_impl)
+                                  exit_slack=exit_slack, nbr_impl=nbr_impl,
+                                  merge_every=merge_every)
         pending.append((s, e, res))
     from .search import unpack_results
     for s, e, res in pending:

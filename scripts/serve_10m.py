@@ -108,11 +108,13 @@ def main():
                   f"forcing xla scan", flush=True)
             scan = "xla"
 
+    merge_every = int(os.environ.get("SERVE_MERGE_EVERY", 1))
+
     def tile_fn(T):
         return tile_search(tidx, jnp.asarray(eval_q), k=K, T=T,
                            Lc=max(2 * T, 16), metric="ip",
                            batch_size=8192, device_arrays=dev,
-                           scan_impl=scan)
+                           scan_impl=scan, merge_every=merge_every)
 
     rows = reval.sweep(tile_fn, T_values, gt_ids, k=K, metric="ip",
                        n_queries=N_EVAL, verbose="stderr", raw=True,
@@ -162,7 +164,7 @@ def main():
             return tile_search(q8, jnp.asarray(eval_q), k=K, T=T,
                                Lc=max(2 * T, 16), metric="ip",
                                batch_size=8192, device_arrays=dev8,
-                               scan_impl=scan8)
+                               scan_impl=scan8, merge_every=merge_every)
 
         q8_rows = reval.sweep(tile8_fn, T_values, gt_ids, k=K, metric="ip",
                               n_queries=N_EVAL, verbose="stderr", raw=True,

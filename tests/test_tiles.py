@@ -180,6 +180,25 @@ def test_int8_npz_roundtrip(tmp_path, setup):
     assert np.allclose(t2.radii, q8.radii)
 
 
+def test_merge_every_bit_identical(setup):
+    """Deferring the running top-k merge across hops must be bit-identical
+    to per-hop merging (the walk ignores rk without early_exit and clusters
+    partition the base) — including a T not divisible by merge_every — and
+    must refuse the early_exit combination."""
+    _, queries, _, tidx, _ = setup
+    ref = tile_search(tidx, queries, k=10, T=7, Lc=16, metric="ip",
+                      batch_size=256)
+    for me in (2, 3, 7, 16):
+        got = tile_search(tidx, queries, k=10, T=7, Lc=16, metric="ip",
+                          batch_size=256, merge_every=me)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        tile_search(tidx.with_radii(), queries, k=10, T=7, Lc=16,
+                    metric="ip", batch_size=256, merge_every=2,
+                    early_exit=True)
+
+
 def test_npz_roundtrip(tmp_path, setup):
     _, _, _, tidx, _ = setup
     p = str(tmp_path / "tiles.npz")
