@@ -171,6 +171,27 @@ def main():
                               knob="T")
         q8_qps = reval.qps_at_recall(q8_rows, TARGET)
 
+    # deferred-merge timing at the int8 operating point: merge_every is
+    # bit-identical to per-hop merging (test-pinned), so recall is already
+    # known from the sweep above — only the QPS moves. One point per M.
+    me_rows = []
+    if q8_qps is not None and not os.environ.get("SERVE_NO_ME"):
+        best_T = next(r["L_pq"] for r in q8_rows
+                      if r["recall"] >= TARGET and r["qps"] == q8_qps)
+        for me in (2, 4):
+            def tile8_me_fn(T, _me=me):
+                return tile_search(q8, jnp.asarray(eval_q), k=K, T=T,
+                                   Lc=max(2 * T, 16), metric="ip",
+                                   batch_size=8192, device_arrays=dev8,
+                                   scan_impl=scan8, merge_every=_me)
+
+            r = reval.sweep(tile8_me_fn, [best_T], gt_ids, k=K,
+                            metric="ip", n_queries=N_EVAL,
+                            verbose="stderr", raw=True, knob="T")[0]
+            me_rows.append([me, r["L_pq"], r["qps"], r["recall"]])
+            if r["recall"] >= TARGET:
+                q8_qps = max(q8_qps, r["qps"])
+
     result = {"tag": TAG, "n": N, "d": D, "metric": "ip",
               "tile_qps_at_recall": qps,
               "tile_adaptive_qps_at_recall": ee_qps,
@@ -182,7 +203,8 @@ def main():
               "ee_rows_T_qps_recall": [[r["L_pq"], r["qps"], r["recall"]]
                                        for r in ee_rows],
               "int8_rows_T_qps_recall": [[r["L_pq"], r["qps"], r["recall"]]
-                                         for r in q8_rows]}
+                                         for r in q8_rows],
+              "int8_merge_every_rows_M_T_qps_recall": me_rows}
     print(json.dumps(result), flush=True)
     with open(f"eval_{TAG}_tiles.json", "w") as f:
         json.dump(result, f, indent=1)
