@@ -17,6 +17,7 @@ BENCH_TILE_DTYPE for the tile engine.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -37,6 +38,40 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def supervise() -> int:
+    """Crash-retry supervisor: run the bench in a child process and relaunch
+    it on failure (fresh process = fresh tunnel client), up to BENCH_RETRIES
+    attempts. Every expensive stage (train GT, phase A, timed phase-B state,
+    tile index) is cached/checkpointed under build/, so a relaunch resumes
+    rather than recomputes — a tunnel-worker death mid-phase-B (the
+    round-3 failure: BENCH_r03.json, FAILED_PRECONDITION at build.py:571)
+    costs one checkpoint window, not the round's number."""
+    retries = int(os.environ.get("BENCH_RETRIES", 3))
+    env = dict(os.environ, BENCH_CHILD="1")
+    last_json = None
+    for attempt in range(retries + 1):
+        if attempt:
+            log(f"bench supervisor: child failed, retry {attempt}/{retries} "
+                f"(caches under build/ resume completed stages)")
+            # a BENCH_FRESH run has purged caches at this point; the retry
+            # must *resume* the fresh build, not purge it again
+            env.pop("BENCH_FRESH", None)
+            time.sleep(10.0 * attempt)  # give a dying tunnel worker time
+        p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=subprocess.PIPE, text=True)
+        for line in p.stdout:  # stderr passes through; stdout is filtered
+            line = line.rstrip("\n")
+            if line.startswith("{"):
+                last_json = line
+            else:
+                log(line)
+        p.wait()
+        if p.returncode == 0 and last_json:
+            print(last_json)
+            return 0
+    return p.returncode or 1
 
 
 def make_data(n, n_train, n_eval, d, seed):
@@ -115,14 +150,27 @@ def main():
     mtag = "" if METRIC_STR == "ip" else f"_{METRIC_STR}"
     cache = os.path.join("build",
                          f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}{mtag}.npz")
+    if os.environ.get("BENCH_FRESH"):
+        # purge-once semantics: delete the caches now and build as normal
+        # below, so a supervisor retry after a mid-build crash RESUMES the
+        # fresh build from its checkpoints instead of purging again
+        import glob
+        import shutil
+        stem = cache[:-4]
+        for p in glob.glob(stem + "*"):
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+        for p in glob.glob(os.path.join(
+                "build", f"bench_gt_{N}_{N_TRAIN}_{D}_{SEED}{mtag}.npz")):
+            os.remove(p)
+        os.environ.pop("BENCH_FRESH")
     gt_s = build_s = None
-    if os.path.exists(cache) and not os.environ.get("BENCH_FRESH"):
+    if os.path.exists(cache):
         graph = rt.PaddedGraph.load_npz(cache)
         log(f"loaded cached index {cache}")
     else:
         gt_cache = os.path.join(
             "build", f"bench_gt_{N}_{N_TRAIN}_{D}_{SEED}{mtag}.npz")
-        if os.path.exists(gt_cache) and not os.environ.get("BENCH_FRESH"):
+        if os.path.exists(gt_cache):
             with np.load(gt_cache) as z:
                 train_ids = z["ids"]
             log(f"loaded cached train gt {gt_cache}")
@@ -155,7 +203,7 @@ def main():
     # --- coarse quantizer for seeded starts (cached with the index) ---
     from roargraph_tpu.ops.seeds import SeedIndex, build_seeds
     seed_cache = cache.replace(".npz", "_seeds.npz")
-    if os.path.exists(seed_cache) and not os.environ.get("BENCH_FRESH"):
+    if os.path.exists(seed_cache):
         sidx = SeedIndex.load_npz(seed_cache)
     else:
         # device array reused (no second HBM copy of base); centroid count
@@ -179,7 +227,7 @@ def main():
                 else f"_tiles{tile_C}_f{tile_fill}")
     tile_cache = cache.replace(".npz", f"{tile_tag}.npz")
     tile_build_s = None
-    if os.path.exists(tile_cache) and not os.environ.get("BENCH_FRESH"):
+    if os.path.exists(tile_cache):
         tidx = TileIndex.load_npz(tile_cache)
     else:
         t0 = time.time()
@@ -361,4 +409,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if (os.environ.get("BENCH_CHILD")
+            or os.environ.get("BENCH_SUPERVISE") == "0"):
+        main()
+    else:
+        sys.exit(supervise())

@@ -562,12 +562,12 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
             metric=cfg.metric, M=M, W=W, prune_chunk=prune_chunk)
 
         batches_done += 1
-        if batches_done % 50 == 0:
+        if batches_done % _phase_b_sync_every() == 0:
             # bounded dispatch run-ahead: the async host loop can otherwise
             # queue the entire phase ahead of the device (progress prints
             # then lie, and the final fetch blocks on a backlog that looks
-            # like a hang through the relay). One scalar fetch per 50
-            # batches keeps the host ~one window ahead at negligible cost.
+            # like a hang through the relay). One scalar fetch per window
+            # keeps the host ~one window ahead at negligible cost.
             int(deg_dev[0])
         if batches_done % 25 == 0 and N > 4 * B:
             # also the liveness signal for stall watchdogs: one line per
@@ -590,6 +590,13 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
     # Chunked D2H (writable copies): single multi-hundred-MB fetches have
     # been observed to wedge the tunnel worker; bounded slices behave.
     return _fetch_rows(supply_i_dev), _fetch_rows(supply_d_dev)
+
+
+def _phase_b_sync_every() -> int:
+    """Dispatch run-ahead window for the phase-B host loop (batches between
+    scalar syncs). Env-tunable: ROAR_PHASEB_SYNC=1 serializes every batch
+    (bisect mode for device faults that surface at the next fetch)."""
+    return max(int(os.environ.get("ROAR_PHASEB_SYNC", "50")), 1)
 
 
 def _fetch_rows(a, chunk_bytes: int = 32 << 20):

@@ -56,6 +56,7 @@ def sweep(
     n_queries: int,
     gt_dists: np.ndarray | None = None,
     warmup: bool = True,
+    warmup_fn: Callable | None = None,
     csv_path: str | None = None,
     verbose: bool = True,
     raw: bool = False,
@@ -83,10 +84,18 @@ def sweep(
         cfg = int(L) if raw else SearchConfig(k=k, L_pq=int(L), metric=metric)
         warm_dt = float("inf")
         if warmup:
-            # compile + warm caches (parity: ``:198-200``)
-            t0 = time.perf_counter()
-            search_fn(cfg)
-            warm_dt = time.perf_counter() - t0
+            # compile + warm caches (parity: ``:198-200``). The reference
+            # warms with 100 serial queries, not a full pass; callers of big
+            # sweeps pass ``warmup_fn`` running one batch-worth of queries
+            # (the smallest unit that compiles the exact timed program), so
+            # the sweep doesn't pay 2x wall at large Q. A full-pass warmup
+            # additionally feeds the auxiliary qps_best column.
+            if warmup_fn is not None:
+                warmup_fn(cfg)
+            else:
+                t0 = time.perf_counter()
+                search_fn(cfg)
+                warm_dt = time.perf_counter() - t0
         t0 = time.perf_counter()
         ids, dists, cmps, hops = search_fn(cfg)
         dt = time.perf_counter() - t0
