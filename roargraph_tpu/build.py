@@ -327,20 +327,12 @@ def _phase_a(base_dev, train_knn: np.ndarray, cfg: BuildConfig, N: int):
 # Phase B — connectivity augmentation
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("metric", "M", "W", "prune_chunk"),
-    donate_argnums=(0, 1, 2))
-def _phase_b_step(supply_i, supply_d, deg, ret_i, ret_d, nodes, nodes_ok,
-                  proj_i_dev, base_dev, *, metric, M, W, prune_chunk=0):
-    """One fused device step of phase B for a batch of nodes: defer-mask →
-    occlusion prune → out-list write → deterministic reverse-append (bounded
-    at ``W``). No host math; the supply arrays stay device-resident across
-    batches (donated buffers, so updates are in place)."""
-    N = supply_i.shape[0]
+def _pb_prune_body(ret_i, ret_d, nodes, nodes_ok, proj_i_dev, base_dev, *,
+                   metric, M, prune_chunk=0):
+    """Phase-B part 1: defer-mask + occlusion prune of each node's captured
+    expanded set down to its new ``M``-wide out-list."""
+    N = proj_i_dev.shape[0]
     B, R = ret_i.shape
-    BIGI = jnp.int32(2**31 - 1)
-
     valid = (ret_i >= 0) & (ret_i != nodes[:, None]) & nodes_ok[:, None]
     # defer candidates already present in the node's projection list
     # (the reference's first-element skip, ``:1858-1865``)
@@ -368,6 +360,17 @@ def _phase_b_step(supply_i, supply_d, deg, ret_i, ret_d, nodes, nodes_ok,
         pi, pd = occlusion_prune(ret_i, ret_d, valid, node_vecs, base_dev,
                                  metric=metric, M=M, backfill=False,
                                  defer_mask=defer, use_defer=True)
+    return pi, pd
+
+
+def _pb_write_reverse_body(supply_i, supply_d, deg, pi, pd, nodes, nodes_ok,
+                           *, M, W):
+    """Phase-B part 2: write the batch's new out-lists, then the
+    deterministic reverse-append bounded at ``W``. Returns the updated
+    supply state plus the sorted reverse-edge stream consumed by part 3."""
+    N = supply_i.shape[0]
+    B = pi.shape[0]
+    BIGI = jnp.int32(2**31 - 1)
 
     # --- write the batch's new out-lists (padding rows drop) -----------
     row_i = jnp.full((B, W), PAD, jnp.int32).at[:, :M].set(pi)
@@ -406,16 +409,24 @@ def _phase_b_step(supply_i, supply_d, deg, ret_i, ret_d, nodes, nodes_ok,
                                           mode="drop")
     supply_d = supply_d.at[tgt2, pos].set(sd, mode="drop")
     deg = deg.at[tgt2].add(accepted.astype(deg.dtype), mode="drop")
+    return supply_i, supply_d, deg, sdst, sd, ssrc, rank, avail
 
-    # --- overflow absorb + re-prune (``SupplyAddReverse:1362-1387``) ----
-    # A destination whose reverse fan-in exceeds its free slots is NOT
-    # allowed to drop the overflow: the reference occlusion-re-prunes the
-    # neighbor union down to M, making room for closer arrivals (dropping
-    # instead measurably costs graph quality — see test_crossval_cpp).
-    # Bulk analog: per batch, up to B overflowing destinations get their
-    # post-append row unioned with their A closest dropped arrivals and
-    # re-pruned to M in one batched occlusion pass.
-    P, A = B, M
+
+def _pb_overflow_body(supply_i, supply_d, deg, sdst, sd, ssrc, rank, avail,
+                      base_dev, *, metric, M, W):
+    """Phase-B part 3: overflow absorb + re-prune
+    (``SupplyAddReverse:1362-1387``). A destination whose reverse fan-in
+    exceeds its free slots is NOT allowed to drop the overflow: the
+    reference occlusion-re-prunes the neighbor union down to M, making room
+    for closer arrivals (dropping instead measurably costs graph quality —
+    see test_crossval_cpp). Bulk analog: per batch, up to B overflowing
+    destinations get their post-append row unioned with their A closest
+    dropped arrivals and re-pruned to M in one batched occlusion pass."""
+    N = supply_i.shape[0]
+    BIGI = jnp.int32(2**31 - 1)
+    E = sdst.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    P, A = E // M, M   # E = B*M
     marker = (sdst < BIGI) & (rank == avail)   # one edge per overflow dst
     m_idx = jnp.argsort(jnp.where(marker, idx, E + idx))[:P]
     m_valid = marker[m_idx]
@@ -444,6 +455,61 @@ def _phase_b_step(supply_i, supply_d, deg, ret_i, ret_d, nodes, nodes_ok,
     deg = deg.at[tgt3].set(jnp.sum(pr_i != PAD, axis=1).astype(deg.dtype),
                            mode="drop")
     return supply_i, supply_d, deg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "M", "W", "prune_chunk"),
+    donate_argnums=(0, 1, 2))
+def _phase_b_step(supply_i, supply_d, deg, ret_i, ret_d, nodes, nodes_ok,
+                  proj_i_dev, base_dev, *, metric, M, W, prune_chunk=0):
+    """One fused device step of phase B for a batch of nodes: defer-mask →
+    occlusion prune → out-list write → deterministic reverse-append (bounded
+    at ``W``) → overflow re-prune. No host math; the supply arrays stay
+    device-resident across batches (donated buffers, updates in place).
+
+    NOTE: the default execution path is :func:`_phase_b_step_split` — the
+    identical computation as three smaller dispatches. This single fused
+    program deterministically kills the TPU runtime at ramp widths >= 64
+    on the axon backend (bisected round 4: the search and every split part
+    run clean; only the fused whole faults, surfacing FAILED_PRECONDITION /
+    INTERNAL at the next fetch). Kept for direct-attached devices via
+    ROAR_PHASEB_FUSED=1."""
+    pi, pd = _pb_prune_body(ret_i, ret_d, nodes, nodes_ok, proj_i_dev,
+                            base_dev, metric=metric, M=M,
+                            prune_chunk=prune_chunk)
+    supply_i, supply_d, deg, sdst, sd, ssrc, rank, avail = \
+        _pb_write_reverse_body(supply_i, supply_d, deg, pi, pd, nodes,
+                               nodes_ok, M=M, W=W)
+    return _pb_overflow_body(supply_i, supply_d, deg, sdst, sd, ssrc, rank,
+                             avail, base_dev, metric=metric, M=M, W=W)
+
+
+_pb_prune = functools.partial(
+    jax.jit, static_argnames=("metric", "M", "prune_chunk"))(_pb_prune_body)
+_pb_write_reverse = functools.partial(
+    jax.jit, static_argnames=("M", "W"))(_pb_write_reverse_body)
+_pb_overflow = functools.partial(
+    jax.jit, static_argnames=("metric", "M", "W"))(_pb_overflow_body)
+
+
+def _phase_b_step_split(supply_i, supply_d, deg, ret_i, ret_d, nodes,
+                        nodes_ok, proj_i_dev, base_dev, *, metric, M, W,
+                        prune_chunk=0):
+    """The phase-B step as three sequential device programs (prune /
+    write+reverse / overflow re-prune) — bit-identical to
+    :func:`_phase_b_step` (same traced bodies, same order), but none of the
+    three triggers the axon-backend fault the fused program hits. The
+    intermediate arrays ([B, M] out-lists, [B*M] sorted edge stream) stay
+    on device; the extra dispatches cost ~2 relay RTTs per batch, amortized
+    to noise by the async run-ahead window."""
+    pi, pd = _pb_prune(ret_i, ret_d, nodes, nodes_ok, proj_i_dev, base_dev,
+                       metric=metric, M=M, prune_chunk=prune_chunk)
+    supply_i, supply_d, deg, sdst, sd, ssrc, rank, avail = \
+        _pb_write_reverse(supply_i, supply_d, deg, pi, pd, nodes, nodes_ok,
+                          M=M, W=W)
+    return _pb_overflow(supply_i, supply_d, deg, sdst, sd, ssrc, rank,
+                        avail, base_dev, metric=metric, M=M, W=W)
 
 
 def phase_b_schedule(N: int, B: int, *, ramp_from: int = 16):
@@ -556,7 +622,12 @@ def _phase_b_search_prune(adj_i, adj_d, base_dev, cfg: BuildConfig, ep: int,
             capture=R, exclude_self=True, self_ids=nodes_dev,
             expand_width=cfg.search_expand, visited_mode="dedup",
             gather_chunk=0)
-        supply_i_dev, supply_d_dev, deg_dev = _phase_b_step(
+        # split by default: the fused step program deterministically faults
+        # the axon TPU runtime at ramp widths >= 64 (see _phase_b_step);
+        # ROAR_PHASEB_FUSED=1 restores the single-dispatch step
+        step = (_phase_b_step if os.environ.get("ROAR_PHASEB_FUSED")
+                else _phase_b_step_split)
+        supply_i_dev, supply_d_dev, deg_dev = step(
             supply_i_dev, supply_d_dev, deg_dev, res.ret_ids, res.ret_dists,
             nodes_dev, jnp.asarray(nodes_ok), proj_i_dev, base_dev,
             metric=cfg.metric, M=M, W=W, prune_chunk=prune_chunk)
