@@ -16,6 +16,7 @@
 //       searchable by the reference code.
 #include <omp.h>
 
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -107,10 +108,14 @@ int main(int argc, char **argv) {
 
         std::vector<uint32_t> ids(static_cast<size_t>(qn) * k);
         std::vector<float> dists_row(k);
+        auto t0 = std::chrono::steady_clock::now();
         for (size_t i = 0; i < qn; i++) {
             index.SearchRoarGraph(queries + i * qd, k, i, p,
                                   ids.data() + i * k, dists_row);
         }
+        double secs = std::chrono::duration<double>(
+            std::chrono::steady_clock::now() - t0).count();
+        std::printf("search_s %.6f qps %.1f\n", secs, qn / secs);
         std::ofstream out(out_f, std::ios::binary);
         out.write(reinterpret_cast<char *>(&qn), 4);
         out.write(reinterpret_cast<char *>(&k), 4);
