@@ -495,6 +495,213 @@ def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
     return sg.reshape(G * nq_max, C)[pos_q]                  # [B, C]
 
 
+def _select_topp(dots, ids_row, p):
+    """In-kernel per-row top-p selection (smallest ``-dots`` first).
+
+    ``dots`` [nq, C] f32 raw inner products, ``ids_row`` [C] int32 global
+    ids (PAD marks dead slots). Returns ([nq, p] f32 scores in
+    smaller-is-better form, [nq, p] int32 global ids, BIG when exhausted).
+    Iterative min+mask — p tiny VPU reduces; no argmin/sort primitives, so
+    it lowers on TPU Pallas. Ties break toward the lower lane index, like
+    a left-to-right scan."""
+    nq, C = dots.shape
+    v = jnp.where((ids_row != PAD)[None, :], -dots, jnp.inf)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nq, C), 1)
+    vals, oids = [], []
+    for _ in range(p):
+        m = jnp.min(v, axis=1)                               # [nq]
+        am = jnp.min(jnp.where(v <= m[:, None], iota, C), axis=1)
+        oh = iota == am[:, None]
+        gid = jnp.sum(jnp.where(oh, ids_row[None, :], 0), axis=1)
+        # literal, not the module-level jnp constant: a captured jnp array
+        # would be a pallas "captured constant" error
+        gid = jnp.where(m == jnp.inf, np.int32(2**31 - 1), gid)
+        vals.append(m)
+        oids.append(gid)
+        v = jnp.where(oh, jnp.inf, v)
+    return jnp.stack(vals, axis=1), jnp.stack(oids, axis=1)
+
+
+def _scan_fused_kernel(f_ref, q_ref, gids_ref, tiles_ref, outv_ref, outi_ref,
+                       scratch, sems, *, p):
+    """Per-query scan + in-VMEM top-p: _scan_kernel that never writes the
+    [B, C] dots to HBM — each grid step emits only its _GQ queries'
+    [p]-wide candidate lists (scores + global ids)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    nq = pl.num_programs(0) * _GQ
+
+    def get_dma(slot, b):
+        return pltpu.make_async_copy(tiles_ref.at[f_ref[b]],
+                                     scratch.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    base = i * _GQ
+    for j in range(_GQ):  # static unroll: all slices below are static
+        b = base + j
+
+        @pl.when(b + 1 < nq)
+        def _():
+            get_dma((j + 1) % 2, b + 1).start()
+
+        get_dma(j % 2, b).wait()
+        tile = scratch[j % 2]                                # [Dp, C]
+        dots = jax.lax.dot_general(
+            q_ref[j:j + 1, :], tile.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [1, C]
+        vals, oids = _select_topp(dots, gids_ref[j], p)
+        outv_ref[j, :] = vals[0]
+        outi_ref[j, :] = oids[0]
+
+
+def _scan_clusters_pallas_fused(tiles_t, gids, f, queries, *, p: int,
+                                interpret: bool = False):
+    """Fused per-query scan+select: returns ([B, p] f32 ``-dot`` scores,
+    [B, p] int32 global ids) — the hop's candidates pre-reduced from C to p
+    inside the kernel, so the running top-k merge shrinks ~C/p-fold and the
+    [B, C] dots/ids never exist in HBM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, Dp, C = tiles_t.shape
+    B = queries.shape[0]
+    if not interpret and C % 128:
+        raise ValueError(f"pallas scan needs cluster_size % 128 == 0, "
+                         f"got {C}")
+    if B % _GQ:
+        raise ValueError(f"pallas scan needs batch % {_GQ} == 0, got {B}")
+    gids_f = gids[f]                                         # [B, C] i32
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // _GQ,),
+        in_specs=[
+            pl.BlockSpec((_GQ, Dp), lambda i, f_ref: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GQ, C), lambda i, f_ref: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # tiles stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((_GQ, p), lambda i, f_ref: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GQ, p), lambda i, f_ref: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Dp, C), tiles_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_scan_fused_kernel, p=p),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, p), jnp.float32),
+                   jax.ShapeDtypeStruct((B, p), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * C * Dp,
+            bytes_accessed=(B * C * Dp * tiles_t.dtype.itemsize
+                            + B * C * 4 + 2 * B * p * 4),
+            transcendentals=0),
+    )(f, queries, gids_f, tiles_t)
+
+
+def _scan_group_fused_kernel(tile_of_ref, q_ref, gids_ref, tiles_ref,
+                             outv_ref, outi_ref, scratch, sems, *, p):
+    """Grouped scan + in-VMEM top-p: _scan_group_kernel without the
+    [G, nq, C] HBM staging — each group emits [nq, p] candidates."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    nG = pl.num_programs(0)
+
+    def get_dma(slot, gg):
+        return pltpu.make_async_copy(tiles_ref.at[tile_of_ref[gg]],
+                                     scratch.at[slot], sems.at[slot])
+
+    @pl.when(g == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(g + 1 < nG)
+    def _():
+        get_dma((g + 1) % 2, g + 1).start()
+
+    get_dma(g % 2, g).wait()
+    tile = scratch[g % 2]                                    # [Dp, C]
+    dots = jax.lax.dot_general(
+        q_ref[0], tile.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [nq, C]
+    vals, oids = _select_topp(dots, gids_ref[0], p)
+    outv_ref[0] = vals
+    outi_ref[0] = oids
+
+
+def _scan_clusters_grouped_pallas_fused(tiles_t, gids, f, qp, *, p: int,
+                                        nq_max: int = 64,
+                                        interpret: bool = False):
+    """Fused grouped scan+select: ([B, p] f32 ``-dot`` scores, [B, p] i32
+    global ids). The grouped XLA path's [G, nq, C] staging (the dominant
+    HBM traffic once G ~ B) shrinks to [G, nq, p]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, Dp, C = tiles_t.shape
+    B = qp.shape[0]
+    if not interpret and C % 128:
+        raise ValueError(f"grouped_pallas scan needs cluster_size % 128 "
+                         f"== 0, got {C}")
+    G = _num_groups(K, B, nq_max)
+    tile_of, src, pos_q = _group_queries(f, B, K, G, nq_max)
+    Q = qp[src].reshape(G, nq_max, Dp)
+    gids_g = gids[tile_of]                                   # [G, C] i32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, nq_max, Dp), lambda g, tf_ref: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda g, tf_ref: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),    # tiles stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq_max, p), lambda g, tf_ref: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq_max, p), lambda g, tf_ref: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Dp, C), tiles_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    sv, si = pl.pallas_call(
+        functools.partial(_scan_group_fused_kernel, p=p),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((G, nq_max, p), jnp.float32),
+                   jax.ShapeDtypeStruct((G, nq_max, p), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * nq_max * C * Dp,
+            bytes_accessed=(G * Dp * C * tiles_t.dtype.itemsize
+                            + G * (nq_max * Dp + C) * 4
+                            + 2 * G * nq_max * p * 4),
+            transcendentals=0),
+    )(tile_of, Q, gids_g, tiles_t)
+    return (sv.reshape(G * nq_max, p)[pos_q],
+            si.reshape(G * nq_max, p)[pos_q])                # [B, p] x2
+
+
 def _scan_group_kernel(tile_of_ref, q_ref, tiles_ref, out_ref, scratch,
                        sems):
     from jax.experimental import pallas as pl
@@ -668,6 +875,24 @@ def tile_search_batch(
         raise ValueError("nbr_impl='dense' needs the adj_cents table "
                          "(upload())")
 
+    # fused scan+select kernels: the hop's candidates are reduced C -> p_sel
+    # inside the kernel (exact for the final top-k: clusters partition the
+    # base and each cluster is expanded at most once per query). Selection
+    # order is invariant to the positive per-cluster int8 descale, so the
+    # kernel selects in raw units and scores are descaled after.
+    fused = scan_impl in ("pallas_fused", "pallas_fused_interpret",
+                          "grouped_pallas_fused",
+                          "grouped_pallas_fused_interpret")
+    if fused:
+        if metric is Metric.L2:
+            raise ValueError("fused scan impls support IP/cosine only "
+                             "(L2 needs the norms row in-kernel)")
+        p_sel = max(k, 16)
+        if p_sel > C:
+            raise ValueError(f"fused scan needs k <= cluster size, got "
+                             f"k={k} C={C}")
+        cl_valid = jnp.sum(gids != PAD, axis=1).astype(jnp.int32)  # [K]
+
     # frontier ordering: all-centroid scores, one [B, K] contraction
     s = pairwise_scores(queries, centroids, metric,
                         precision=jax.lax.Precision.DEFAULT)     # [B, K]
@@ -732,35 +957,52 @@ def tile_search_batch(
             xlist, jnp.where(active, f, BIG)[:, None], t, axis=1)
 
         # ---- scan the cluster: one sequential block read + one matmul ----
-        ids = gids[f]                                     # [B, C]
-        if scan_impl == "grouped":
-            dots = _scan_clusters_grouped(tiles_t, f, qp)
-        elif scan_impl in ("grouped_pallas", "grouped_pallas_interpret"):
-            dots = _scan_clusters_grouped_pallas(
-                tiles_t, f, qp,
-                interpret=(scan_impl == "grouped_pallas_interpret"))
-        elif scan_impl == "xla":
-            tile = tiles_t[f]                             # [B, Dp, C] blocks
-            if tile.dtype == jnp.int8:
-                # int8 values are exact in bf16 (8 mantissa bits cover
-                # ±127); the convert fuses into the dot's operand read
-                tile = tile.astype(jnp.bfloat16)
-            dots = jax.lax.dot_general(
-                tile, qp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)       # [B, C]
+        if fused:
+            if scan_impl.startswith("grouped"):
+                v, pids = _scan_clusters_grouped_pallas_fused(
+                    tiles_t, gids, f, qp, p=p_sel,
+                    interpret=scan_impl.endswith("interpret"))
+            else:
+                v, pids = _scan_clusters_pallas_fused(
+                    tiles_t, gids, f, qp, p=p_sel,
+                    interpret=scan_impl.endswith("interpret"))
+            sc = v * scales[f][:, None] if scales is not None else v
+            live = (pids != BIG) & active[:, None]
+            sc = jnp.where(live, sc, jnp.inf)
+            ids = jnp.where(live, pids, BIG)                 # [B, p_sel]
+            n_scored = jnp.where(active, cl_valid[f], 0)
         else:
-            dots = _scan_clusters_pallas(
-                tiles_t, f, qp, interpret=(scan_impl == "pallas_interpret"))
-        if scales is not None:
-            dots = dots * scales[f][:, None]
-        if metric is Metric.L2:
-            qn = jnp.sum(qf * qf, axis=1, keepdims=True)
-            sc = qn + norms[f] - 2.0 * dots
-        else:
-            sc = -dots
-        live = (ids != PAD) & active[:, None]
-        sc = jnp.where(live, sc, jnp.inf)
-        ids = jnp.where(live, ids, BIG)
+            ids = gids[f]                                 # [B, C]
+            if scan_impl == "grouped":
+                dots = _scan_clusters_grouped(tiles_t, f, qp)
+            elif scan_impl in ("grouped_pallas", "grouped_pallas_interpret"):
+                dots = _scan_clusters_grouped_pallas(
+                    tiles_t, f, qp,
+                    interpret=(scan_impl == "grouped_pallas_interpret"))
+            elif scan_impl == "xla":
+                tile = tiles_t[f]                         # [B, Dp, C] blocks
+                if tile.dtype == jnp.int8:
+                    # int8 values are exact in bf16 (8 mantissa bits cover
+                    # ±127); the convert fuses into the dot's operand read
+                    tile = tile.astype(jnp.bfloat16)
+                dots = jax.lax.dot_general(
+                    tile, qp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # [B, C]
+            else:
+                dots = _scan_clusters_pallas(
+                    tiles_t, f, qp,
+                    interpret=(scan_impl == "pallas_interpret"))
+            if scales is not None:
+                dots = dots * scales[f][:, None]
+            if metric is Metric.L2:
+                qn = jnp.sum(qf * qf, axis=1, keepdims=True)
+                sc = qn + norms[f] - 2.0 * dots
+            else:
+                sc = -dots
+            live = (ids != PAD) & active[:, None]
+            sc = jnp.where(live, sc, jnp.inf)
+            ids = jnp.where(live, ids, BIG)
+            n_scored = jnp.where(active, jnp.sum(live, axis=1), 0)
 
         if use_graph:
             # merge unvisited graph neighbors into the cluster queue, ranked
@@ -803,7 +1045,7 @@ def tile_search_batch(
                 (all_qd, all_qi, all_qe), num_keys=2)
             q_d, q_i, q_e = (all_qd[:, :Lc], all_qi[:, :Lc], all_qe[:, :Lc])
 
-        cmps = cmps + jnp.where(active, jnp.sum(live, axis=1), 0)
+        cmps = cmps + n_scored
         hops = hops + active.astype(jnp.int32)
         return (q_d, q_i, q_e, xlist, cmps, hops), sc, ids
 

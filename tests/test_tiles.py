@@ -289,6 +289,65 @@ def test_grouped_scan_large_k_regime():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_scan_matches_xla(setup):
+    """The fused scan+select kernels (in-kernel per-cluster top-p, interpret
+    mode on CPU) must produce the same final results as the unfused XLA
+    path: per-cluster top-p then global merge is exact for the final top-k
+    because clusters partition the base and are expanded at most once."""
+    _, queries, _, tidx, gt_ids = setup
+    from roargraph_tpu.tiles import upload
+    dev = upload(tidx)
+    a = tile_search(tidx, queries[:128], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=128, device_arrays=dev, scan_impl="xla")
+    for impl in ("pallas_fused_interpret", "grouped_pallas_fused_interpret"):
+        b = tile_search(tidx, queries[:128], k=10, T=8, Lc=16, metric="ip",
+                        batch_size=128, device_arrays=dev, scan_impl=impl)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(a[2], b[2])
+        np.testing.assert_array_equal(a[3], b[3])
+
+
+def test_fused_scan_merge_every(setup):
+    """Deferred merge composes with the fused kernels (group candidates are
+    [B, g*p] instead of [B, g*C])."""
+    _, queries, _, tidx, gt_ids = setup
+    from roargraph_tpu.tiles import upload
+    dev = upload(tidx)
+    a = tile_search(tidx, queries[:64], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=64, device_arrays=dev, scan_impl="xla")
+    b = tile_search(tidx, queries[:64], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=64, device_arrays=dev,
+                    scan_impl="grouped_pallas_fused_interpret", merge_every=3)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
+
+
+def test_fused_scan_int8(setup):
+    """int8 tiles + fused select: selection happens in raw units (the
+    positive per-cluster descale is rank-invariant) and scores are descaled
+    outside — results must match the unfused int8 path."""
+    _, queries, _, tidx, _ = setup
+    from roargraph_tpu.tiles import upload
+    q8 = tidx.quantize_int8()
+    dev = upload(q8)
+    a = tile_search(q8, queries[:64], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=64, device_arrays=dev, scan_impl="xla")
+    b = tile_search(q8, queries[:64], k=10, T=8, Lc=16, metric="ip",
+                    batch_size=64, device_arrays=dev,
+                    scan_impl="pallas_fused_interpret")
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
+
+
+def test_fused_scan_l2_rejected(setup):
+    base, queries, graph, _, _ = setup
+    tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="l2")
+    with pytest.raises(ValueError, match="IP/cosine"):
+        tile_search(tidx, queries[:64], k=10, T=4, Lc=8, metric="l2",
+                    batch_size=64, scan_impl="pallas_fused_interpret")
+
+
 def test_l2_metric(setup):
     base, queries, graph, _, _ = setup
     tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="l2")
