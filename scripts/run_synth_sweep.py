@@ -12,6 +12,12 @@ Artifact: eval_roargraph.csv at the repo root (VERDICT r1 item 5).
 Env knobs: SWEEP_N / SWEEP_TRAIN / SWEEP_D / SWEEP_SEED select which cached
 bench index to use (defaults match bench.py defaults); SWEEP_CSV overrides
 the output path; SWEEP_BATCH the device batch.
+
+Large-index mode (the >=1M protocol artifact, VERDICT r3 item 6):
+SWEEP_GRAPH=<graph.npz> SWEEP_BASE_NPY=<base.npy> [SWEEP_ROWS=lo:hi]
+[SWEEP_EVAL_NPY=<eval.npy>] runs the same 57-point protocol over any built
+graph — e.g. a 1.25M shard of the 10M build — computing exact eval GT
+against that base slice on device.
 """
 import os
 import sys
@@ -55,11 +61,27 @@ def main():
         os.path.abspath(__file__))))
     from bench import make_data
 
-    cache = os.path.join("build", f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")
-    if not os.path.exists(cache):
-        raise SystemExit(f"no cached index at {cache}; run bench.py first")
-    graph = rt.PaddedGraph.load_npz(cache)
-    base, _, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
+    if os.environ.get("SWEEP_GRAPH"):
+        cache = os.environ["SWEEP_GRAPH"]
+        graph = rt.PaddedGraph.load_npz(cache)
+        base = np.load(os.environ["SWEEP_BASE_NPY"], mmap_mode="r")
+        if os.environ.get("SWEEP_ROWS"):
+            lo, hi = (int(x) for x in os.environ["SWEEP_ROWS"].split(":"))
+            base = np.asarray(base[lo:hi])
+        eval_npy = os.environ.get("SWEEP_EVAL_NPY")
+        if eval_npy:
+            eval_q = np.asarray(np.load(eval_npy, mmap_mode="r")[:N_EVAL])
+        else:
+            eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)[2]
+        N = base.shape[0]
+    else:
+        cache = os.path.join("build",
+                             f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")
+        if not os.path.exists(cache):
+            raise SystemExit(f"no cached index at {cache}; run bench.py "
+                             f"first")
+        graph = rt.PaddedGraph.load_npz(cache)
+        base, _, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
     base_dev = jnp.asarray(base)
     # SWEEP_DTYPE=bfloat16 halves the engine's gather bytes/HBM footprint
     # (scores still accumulate f32; ids/cmps/hops semantics unchanged)
