@@ -101,17 +101,26 @@ def main():
     buckets = [int(x) for x in os.environ.get(
         "SWEEP_BUCKETS", "100,512,1024,2048").split(",")]
 
-    def fn(c):
+    def _cfg(c):
         # points above the largest bucket compile their own exact width
         bucket = next((b for b in buckets if c.L_pq <= b), c.L_pq)
-        c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
-                             batch_size=batch, L_bucket=bucket)
-        return search(graph, search_base, eval_q, c2)
+        return rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
+                               batch_size=batch, L_bucket=bucket)
+
+    def fn(c):
+        return search(graph, search_base, eval_q, _cfg(c))
+
+    def warm(c):
+        # one device batch: compiles/warms the exact timed program without
+        # paying a full extra pass per point (reference warms with 100
+        # serial queries, tests/test_search_roargraph.cpp:197-200)
+        search(graph, search_base, eval_q[:min(batch, N_EVAL)], _cfg(c))
 
     t0 = time.time()
     rows = reval.sweep(fn, sweep_l, np.asarray(gt_ids), k=K,
                        metric=rt.Metric.IP, n_queries=N_EVAL,
-                       gt_dists=gt_dists, csv_path=csv_path, verbose=True)
+                       gt_dists=gt_dists, csv_path=csv_path, verbose=True,
+                       warmup_fn=warm)
     print(f"# sweep wall: {time.time() - t0:.1f}s -> {csv_path}",
           file=sys.stderr, flush=True)
     best = reval.qps_at_recall(rows, 0.95)
