@@ -171,13 +171,16 @@ def main():
                               knob="T")
         q8_qps = reval.qps_at_recall(q8_rows, TARGET)
 
+    best_T = None
+    if q8_qps is not None:
+        best_T = next(r["L_pq"] for r in q8_rows
+                      if r["recall"] >= TARGET and r["qps"] == q8_qps)
+
     # deferred-merge timing at the int8 operating point: merge_every is
     # bit-identical to per-hop merging (test-pinned), so recall is already
     # known from the sweep above — only the QPS moves. One point per M.
     me_rows = []
-    if q8_qps is not None and not os.environ.get("SERVE_NO_ME"):
-        best_T = next(r["L_pq"] for r in q8_rows
-                      if r["recall"] >= TARGET and r["qps"] == q8_qps)
+    if best_T is not None and not os.environ.get("SERVE_NO_ME"):
         for me in (2, 4):
             def tile8_me_fn(T, _me=me):
                 return tile_search(q8, jnp.asarray(eval_q), k=K, T=T,
@@ -189,6 +192,35 @@ def main():
                             metric="ip", n_queries=N_EVAL,
                             verbose="stderr", raw=True, knob="T")[0]
             me_rows.append([me, r["L_pq"], r["qps"], r["recall"]])
+            if r["recall"] >= TARGET:
+                q8_qps = max(q8_qps, r["qps"])
+
+    # fused scan+select kernels at the operating point (round 4): smoke-test
+    # each variant (this backend has program-level failure modes) and record
+    # QPS at best_T; exact-equivalent to the unfused path, so recall is a
+    # consistency check, never a new operating point
+    fused_rows = []
+    if best_T is not None and not os.environ.get("SERVE_NO_FUSED"):
+        for fimpl in ("grouped_pallas_fused", "pallas_fused"):
+            try:
+                tile_search(q8, jnp.asarray(eval_q[:8192]), k=K, T=2, Lc=4,
+                            metric="ip", batch_size=8192, device_arrays=dev8,
+                            scan_impl=fimpl)
+            except Exception as e:  # noqa: BLE001 — any kernel fault
+                print(f"fused smoke {fimpl} failed ({type(e).__name__}: "
+                      f"{str(e)[:200]})", flush=True)
+                continue
+
+            def tile8_fused_fn(T, _f=fimpl):
+                return tile_search(q8, jnp.asarray(eval_q), k=K, T=T,
+                                   Lc=max(2 * T, 16), metric="ip",
+                                   batch_size=8192, device_arrays=dev8,
+                                   scan_impl=_f)
+
+            r = reval.sweep(tile8_fused_fn, [best_T], gt_ids, k=K,
+                            metric="ip", n_queries=N_EVAL,
+                            verbose="stderr", raw=True, knob="T")[0]
+            fused_rows.append([fimpl, r["L_pq"], r["qps"], r["recall"]])
             if r["recall"] >= TARGET:
                 q8_qps = max(q8_qps, r["qps"])
 
@@ -204,7 +236,8 @@ def main():
                                        for r in ee_rows],
               "int8_rows_T_qps_recall": [[r["L_pq"], r["qps"], r["recall"]]
                                          for r in q8_rows],
-              "int8_merge_every_rows_M_T_qps_recall": me_rows}
+              "int8_merge_every_rows_M_T_qps_recall": me_rows,
+              "int8_fused_rows_impl_T_qps_recall": fused_rows}
     print(json.dumps(result), flush=True)
     with open(f"eval_{TAG}_tiles.json", "w") as f:
         json.dump(result, f, indent=1)
