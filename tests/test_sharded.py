@@ -319,6 +319,32 @@ def test_sharded_tile_search_dense_nbr(rng):
     assert same > 0.99, same
 
 
+def test_sharded_tile_search_fused_scan(rng):
+    """The fused scan+select kernel (in-kernel per-cluster top-p) through
+    the SPMD path must match the default scan exactly: per-shard [B, k]
+    results are identical, so the cross-shard merge is too."""
+    from roargraph_tpu.dist import build_sharded_tiles, sharded_tile_search
+
+    base, train_q = make_crossmodal(rng, n_base=700, n_query=500, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=32, dim=16)[1]
+    cfg = rt.BuildConfig(metric="ip", M_sq=20, M_pjbp=6, L_pjpq=30,
+                         prune_batch=256, search_batch=128)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=4)
+    stidx = build_sharded_tiles(index, cluster_size=64, Mc=8, metric="ip")
+    mesh = make_mesh(4, 2)
+    ref = sharded_tile_search(stidx, eval_q, k=10, T=7, metric="ip",
+                              mesh=mesh)
+    got = sharded_tile_search(stidx, eval_q, k=10, T=7, metric="ip",
+                              mesh=mesh,
+                              scan_impl="grouped_pallas_fused_interpret")
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_tile_search_merge_every(rng):
     """Deferring the per-shard running top-k merge (merge_every) must be
     bit-identical through the SPMD path too: the cross-shard all_gather
