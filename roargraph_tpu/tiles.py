@@ -495,17 +495,21 @@ def _scan_clusters_grouped(tiles_t, f, qp, *, nq_max: int = 64):
     return sg.reshape(G * nq_max, C)[pos_q]                  # [B, C]
 
 
-def _select_topp(dots, ids_row, p):
-    """In-kernel per-row top-p selection (smallest ``-dots`` first).
+def _select_topp(dots, ids_row, p, beta_row=None):
+    """In-kernel per-row top-p selection (smallest score first).
 
     ``dots`` [nq, C] f32 raw inner products, ``ids_row`` [C] int32 global
-    ids (PAD marks dead slots). Returns ([nq, p] f32 scores in
-    smaller-is-better form, [nq, p] int32 global ids, BIG when exhausted).
-    Iterative min+mask — p tiny VPU reduces; no argmin/sort primitives, so
-    it lowers on TPU Pallas. Ties break toward the lower lane index, like
-    a left-to-right scan."""
+    ids (PAD marks dead slots). Score: ``-dots`` (IP/cosine) or
+    ``beta_row - 2*dots`` when ``beta_row`` ([C] f32 — the L2 norms row;
+    the per-query ``|q|^2`` constant is rank-neutral and added outside).
+    Returns ([nq, p] f32 scores, [nq, p] int32 global ids, BIG when
+    exhausted). Iterative min+mask — p tiny VPU reduces; no argmin/sort
+    primitives, so it lowers on TPU Pallas. Ties break toward the lower
+    lane index, like a left-to-right scan."""
     nq, C = dots.shape
-    v = jnp.where((ids_row != PAD)[None, :], -dots, jnp.inf)
+    sc = (-dots if beta_row is None
+          else beta_row[None, :] - 2.0 * dots)
+    v = jnp.where((ids_row != PAD)[None, :], sc, jnp.inf)
     iota = jax.lax.broadcasted_iota(jnp.int32, (nq, C), 1)
     vals, oids = [], []
     for _ in range(p):
@@ -522,14 +526,18 @@ def _select_topp(dots, ids_row, p):
     return jnp.stack(vals, axis=1), jnp.stack(oids, axis=1)
 
 
-def _scan_fused_kernel(f_ref, q_ref, gids_ref, tiles_ref, outv_ref, outi_ref,
-                       scratch, sems, *, p):
+def _scan_fused_kernel(f_ref, q_ref, gids_ref, *rest, p, l2):
     """Per-query scan + in-VMEM top-p: _scan_kernel that never writes the
     [B, C] dots to HBM — each grid step emits only its _GQ queries'
     [p]-wide candidate lists (scores + global ids)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if l2:
+        norms_ref, tiles_ref, outv_ref, outi_ref, scratch, sems = rest
+    else:
+        tiles_ref, outv_ref, outi_ref, scratch, sems = rest
+        norms_ref = None
     i = pl.program_id(0)
     nq = pl.num_programs(0) * _GQ
 
@@ -555,17 +563,21 @@ def _scan_fused_kernel(f_ref, q_ref, gids_ref, tiles_ref, outv_ref, outi_ref,
             q_ref[j:j + 1, :], tile.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [1, C]
-        vals, oids = _select_topp(dots, gids_ref[j], p)
+        vals, oids = _select_topp(
+            dots, gids_ref[j], p,
+            beta_row=None if norms_ref is None else norms_ref[j])
         outv_ref[j, :] = vals[0]
         outi_ref[j, :] = oids[0]
 
 
 def _scan_clusters_pallas_fused(tiles_t, gids, f, queries, *, p: int,
-                                interpret: bool = False):
-    """Fused per-query scan+select: returns ([B, p] f32 ``-dot`` scores,
-    [B, p] int32 global ids) — the hop's candidates pre-reduced from C to p
-    inside the kernel, so the running top-k merge shrinks ~C/p-fold and the
-    [B, C] dots/ids never exist in HBM."""
+                                norms=None, interpret: bool = False):
+    """Fused per-query scan+select: returns ([B, p] f32 scores, [B, p] int32
+    global ids) — the hop's candidates pre-reduced from C to p inside the
+    kernel, so the running top-k merge shrinks ~C/p-fold and the [B, C]
+    dots/ids never exist in HBM. Scores: ``-dot`` (IP/cosine) or
+    ``|x|^2 - 2<q,x>`` when ``norms`` [K, C] is given (L2 minus the
+    rank-neutral ``|q|^2``, added by the caller)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -577,17 +589,26 @@ def _scan_clusters_pallas_fused(tiles_t, gids, f, queries, *, p: int,
     if B % _GQ:
         raise ValueError(f"pallas scan needs batch % {_GQ} == 0, got {B}")
     gids_f = gids[f]                                         # [B, C] i32
+    l2 = norms is not None
+
+    row_spec = pl.BlockSpec((_GQ, C), lambda i, f_ref: (i, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((_GQ, Dp), lambda i, f_ref: (i, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec,
+    ]
+    operands = [f, queries, gids_f]
+    if l2:
+        in_specs.append(row_spec)
+        operands.append(norms[f].astype(jnp.float32))        # [B, C] f32
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # tiles stay in HBM
+    operands.append(tiles_t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B // _GQ,),
-        in_specs=[
-            pl.BlockSpec((_GQ, Dp), lambda i, f_ref: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GQ, C), lambda i, f_ref: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # tiles stay in HBM
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((_GQ, p), lambda i, f_ref: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -600,7 +621,7 @@ def _scan_clusters_pallas_fused(tiles_t, gids, f, queries, *, p: int,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_scan_fused_kernel, p=p),
+        functools.partial(_scan_fused_kernel, p=p, l2=l2),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, p), jnp.float32),
                    jax.ShapeDtypeStruct((B, p), jnp.int32)],
@@ -610,16 +631,20 @@ def _scan_clusters_pallas_fused(tiles_t, gids, f, queries, *, p: int,
             bytes_accessed=(B * C * Dp * tiles_t.dtype.itemsize
                             + B * C * 4 + 2 * B * p * 4),
             transcendentals=0),
-    )(f, queries, gids_f, tiles_t)
+    )(*operands)
 
 
-def _scan_group_fused_kernel(tile_of_ref, q_ref, gids_ref, tiles_ref,
-                             outv_ref, outi_ref, scratch, sems, *, p):
+def _scan_group_fused_kernel(tile_of_ref, q_ref, gids_ref, *rest, p, l2):
     """Grouped scan + in-VMEM top-p: _scan_group_kernel without the
     [G, nq, C] HBM staging — each group emits [nq, p] candidates."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if l2:
+        norms_ref, tiles_ref, outv_ref, outi_ref, scratch, sems = rest
+    else:
+        tiles_ref, outv_ref, outi_ref, scratch, sems = rest
+        norms_ref = None
     g = pl.program_id(0)
     nG = pl.num_programs(0)
 
@@ -641,17 +666,20 @@ def _scan_group_fused_kernel(tile_of_ref, q_ref, gids_ref, tiles_ref,
         q_ref[0], tile.astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [nq, C]
-    vals, oids = _select_topp(dots, gids_ref[0], p)
+    vals, oids = _select_topp(
+        dots, gids_ref[0], p,
+        beta_row=None if norms_ref is None else norms_ref[0])
     outv_ref[0] = vals
     outi_ref[0] = oids
 
 
 def _scan_clusters_grouped_pallas_fused(tiles_t, gids, f, qp, *, p: int,
-                                        nq_max: int = 64,
+                                        norms=None, nq_max: int = 64,
                                         interpret: bool = False):
-    """Fused grouped scan+select: ([B, p] f32 ``-dot`` scores, [B, p] i32
-    global ids). The grouped XLA path's [G, nq, C] staging (the dominant
-    HBM traffic once G ~ B) shrinks to [G, nq, p]."""
+    """Fused grouped scan+select: ([B, p] f32 scores, [B, p] i32 global
+    ids). The grouped XLA path's [G, nq, C] staging (the dominant HBM
+    traffic once G ~ B) shrinks to [G, nq, p]. Score form as in
+    :func:`_scan_clusters_pallas_fused`."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -664,16 +692,26 @@ def _scan_clusters_grouped_pallas_fused(tiles_t, gids, f, qp, *, p: int,
     tile_of, src, pos_q = _group_queries(f, B, K, G, nq_max)
     Q = qp[src].reshape(G, nq_max, Dp)
     gids_g = gids[tile_of]                                   # [G, C] i32
+    l2 = norms is not None
+
+    row_spec = pl.BlockSpec((1, C), lambda g, tf_ref: (g, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, nq_max, Dp), lambda g, tf_ref: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec,
+    ]
+    operands = [tile_of, Q, gids_g]
+    if l2:
+        in_specs.append(row_spec)
+        operands.append(norms[tile_of].astype(jnp.float32))  # [G, C] f32
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # tiles stay in HBM
+    operands.append(tiles_t)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, nq_max, Dp), lambda g, tf_ref: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda g, tf_ref: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),    # tiles stay in HBM
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, nq_max, p), lambda g, tf_ref: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -686,7 +724,7 @@ def _scan_clusters_grouped_pallas_fused(tiles_t, gids, f, qp, *, p: int,
         ],
     )
     sv, si = pl.pallas_call(
-        functools.partial(_scan_group_fused_kernel, p=p),
+        functools.partial(_scan_group_fused_kernel, p=p, l2=l2),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((G, nq_max, p), jnp.float32),
                    jax.ShapeDtypeStruct((G, nq_max, p), jnp.int32)],
@@ -697,7 +735,7 @@ def _scan_clusters_grouped_pallas_fused(tiles_t, gids, f, qp, *, p: int,
                             + G * (nq_max * Dp + C) * 4
                             + 2 * G * nq_max * p * 4),
             transcendentals=0),
-    )(tile_of, Q, gids_g, tiles_t)
+    )(*operands)
     return (sv.reshape(G * nq_max, p)[pos_q],
             si.reshape(G * nq_max, p)[pos_q])                # [B, p] x2
 
@@ -884,9 +922,10 @@ def tile_search_batch(
                           "grouped_pallas_fused",
                           "grouped_pallas_fused_interpret")
     if fused:
-        if metric is Metric.L2:
-            raise ValueError("fused scan impls support IP/cosine only "
-                             "(L2 needs the norms row in-kernel)")
+        if metric is Metric.L2 and scales is not None:
+            raise ValueError("fused scan impls do not support int8 + L2 "
+                             "(the descale is not rank-neutral under the "
+                             "norms offset); use an unfused impl")
         p_sel = max(k, 16)
         if p_sel > C:
             raise ValueError(f"fused scan needs k <= cluster size, got "
@@ -958,15 +997,22 @@ def tile_search_batch(
 
         # ---- scan the cluster: one sequential block read + one matmul ----
         if fused:
+            nrm = norms if metric is Metric.L2 else None
             if scan_impl.startswith("grouped"):
                 v, pids = _scan_clusters_grouped_pallas_fused(
-                    tiles_t, gids, f, qp, p=p_sel,
+                    tiles_t, gids, f, qp, p=p_sel, norms=nrm,
                     interpret=scan_impl.endswith("interpret"))
             else:
                 v, pids = _scan_clusters_pallas_fused(
-                    tiles_t, gids, f, qp, p=p_sel,
+                    tiles_t, gids, f, qp, p=p_sel, norms=nrm,
                     interpret=scan_impl.endswith("interpret"))
-            sc = v * scales[f][:, None] if scales is not None else v
+            if metric is Metric.L2:
+                # kernel emitted |x|^2 - 2<q,x>; |q|^2 is rank-neutral
+                sc = v + jnp.sum(qf * qf, axis=1, keepdims=True)
+            elif scales is not None:
+                sc = v * scales[f][:, None]
+            else:
+                sc = v
             live = (pids != BIG) & active[:, None]
             sc = jnp.where(live, sc, jnp.inf)
             ids = jnp.where(live, pids, BIG)                 # [B, p_sel]

@@ -340,12 +340,28 @@ def test_fused_scan_int8(setup):
     np.testing.assert_allclose(a[1], b[1], rtol=1e-5, atol=1e-6)
 
 
-def test_fused_scan_l2_rejected(setup):
+def test_fused_scan_l2(setup):
+    """L2 fused select: the kernel scores |x|^2 - 2<q,x> from the norms row
+    (|q|^2 is rank-neutral, added outside) — same results as unfused L2."""
     base, queries, graph, _, _ = setup
+    from roargraph_tpu.tiles import upload
     tidx = build_tiles(graph, base, cluster_size=64, Mc=8, metric="l2")
-    with pytest.raises(ValueError, match="IP/cosine"):
-        tile_search(tidx, queries[:64], k=10, T=4, Lc=8, metric="l2",
-                    batch_size=64, scan_impl="pallas_fused_interpret")
+    dev = upload(tidx)
+    a = tile_search(tidx, queries[:64], k=10, T=8, Lc=16, metric="l2",
+                    batch_size=64, device_arrays=dev, scan_impl="xla")
+    for impl in ("pallas_fused_interpret", "grouped_pallas_fused_interpret"):
+        b = tile_search(tidx, queries[:64], k=10, T=8, Lc=16, metric="l2",
+                        batch_size=64, device_arrays=dev, scan_impl=impl)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_allclose(a[1], b[1], rtol=1e-4, atol=1e-5)
+    # int8 + L2 fused is rejected (descale is not rank-neutral under the
+    # norms offset)
+    q8 = tidx.quantize_int8()
+    dev8 = upload(q8)
+    with pytest.raises(ValueError, match="int8"):
+        tile_search(q8, queries[:64], k=10, T=4, Lc=8, metric="l2",
+                    batch_size=64, device_arrays=dev8,
+                    scan_impl="pallas_fused_interpret")
 
 
 def test_l2_metric(setup):
