@@ -245,11 +245,14 @@ def main():
     if N >= 500_000:  # larger corpora need more scanned clusters for 0.95
         T_values += [64, 96, 128, 192]
 
+    tile_scan = os.environ.get("BENCH_TILE_SCAN", "auto")
+
     def tile_fn(T):
         # sweep knob: clusters scanned per query (rides the L_pq column)
         return tile_search(tidx, eval_q, k=K, T=T,
                            Lc=max(2 * T, 16), metric=METRIC,
-                           batch_size=batch, device_arrays=tile_dev)
+                           batch_size=batch, device_arrays=tile_dev,
+                           scan_impl=tile_scan)
 
     log(f"tile sweep ({tile_dtype}, C={tidx.cluster_size}, "
         f"K={tidx.num_clusters}; column 1 is T = clusters scanned):")
@@ -295,12 +298,14 @@ def main():
         acn_a = tile_dev[6] if len(tile_dev) > 6 else None
         qb = eval_q[:batch] if eval_q.shape[0] >= batch else eval_q
 
+        stream_scan = tile_scan if tile_scan != "auto" else "grouped"
+
         def one_pass():
             return _tile_search_packed(
                 tiles_a, gids_a, cents_a, adj_a, qb, norms_a, None,
                 ac_a, acn_a, k=K,
                 T=best_T, Lc=max(2 * best_T, 16), metric=METRIC,
-                use_graph=True, scan_impl="grouped")
+                use_graph=True, scan_impl=stream_scan)
 
         np.asarray(one_pass())  # warm
         t0 = time.time()
