@@ -68,8 +68,13 @@ def main():
     train_q = np.asarray(train_all[:N_TRAIN])
     eval_q = np.asarray(eval_q)
 
-    cfg = rt.BuildConfig(metric="ip", M_sq=100, M_pjbp=35, L_pjpq=500,
-                         prune_batch=1024, search_batch=2048)
+    cfg = rt.BuildConfig(
+        metric="ip",
+        M_sq=int(os.environ.get("B10M_MSQ", 100)),
+        M_pjbp=int(os.environ.get("B10M_MPJBP", 35)),
+        L_pjpq=int(os.environ.get("B10M_LPJPQ", 500)),
+        prune_batch=1024,
+        search_batch=int(os.environ.get("B10M_SEARCH_BATCH", 2048)))
 
     # exact eval GT on the A/B slice
     gt_path = os.path.join("build", f"ab_{N_AB}_eval_gt.npz")
@@ -89,7 +94,7 @@ def main():
     sub_graphs = []
     train_dev = None
     for s in range(SUB):
-        gpath = os.path.join("build", f"ab_graph_sub{s}.npz")
+        gpath = os.path.join("build", f"ab{N_AB}_graph_sub{s}.npz")
         if os.path.exists(gpath):
             sub_graphs.append(PaddedGraph.load_npz(gpath))
             print(f"sub {s}: cached", flush=True)
@@ -130,14 +135,51 @@ def main():
     ugraph = PaddedGraph(ids=union, ep=int(sub_graphs[0].ep))
     del sub_graphs
 
-    mono = PaddedGraph.load_npz(
-        os.path.join("build", f"{TAG}_graph_shard0.npz"))
+    # mono arm: the chain's monolithic shard-0 build when AB_N matches the
+    # shard size; at smaller AB_N (a budget-bounded post-chain run) build a
+    # monolithic graph of the same slice with the same config
+    shard0 = os.path.join("build", f"{TAG}_graph_shard0.npz")
+    mono = None
+    if os.path.exists(shard0):
+        g0 = PaddedGraph.load_npz(shard0)
+        if g0.ids.shape[0] == N_AB:
+            mono = g0
+        del g0
+    if mono is None:
+        mpath = os.path.join("build", f"ab_graph_mono{N_AB}.npz")
+        if os.path.exists(mpath):
+            mono = PaddedGraph.load_npz(mpath)
+            print("mono: cached", flush=True)
+        else:
+            mono_dev = jnp.asarray(base)
+            pad = (-N_TRAIN) % 8192
+            tq = (np.concatenate([train_q, np.zeros((pad, D), np.float32)])
+                  if pad else train_q)
+            tdev = jnp.asarray(tq)
+            t0 = time.time()
+            ids_parts = []
+            part = 8192 * 16
+            for qlo in range(0, N_TRAIN, part):
+                ids, _ = knn(tdev[qlo: qlo + part], mono_dev, k=cfg.M_sq,
+                             metric="ip", query_batch=8192, tile=16384,
+                             precision=jax.lax.Precision.DEFAULT,
+                             approx="block", return_dists=False)
+                ids_parts.append(np.asarray(ids))
+            train_ids = np.concatenate(ids_parts)[:N_TRAIN]
+            print(f"mono: gt {time.time() - t0:.0f}s", flush=True)
+            t0 = time.time()
+            mono, rep = build_roargraph(mono_dev, train_ids, cfg,
+                                        verbose=True)
+            mono.save_npz(mpath)
+            print(f"mono: build {time.time() - t0:.0f}s stats={rep.stats}",
+                  flush=True)
+            del mono_dev, tdev
 
     T_values = [int(t) for t in os.environ.get(
         "AB_T", "16,32,64,96,128,192").split(",")]
     result = {"n": N_AB, "sub_shards": SUB, "tile_C": 256, "k": K}
     for arm, graph in (("mono", mono), ("union", ugraph)):
-        tpath = os.path.join("build", f"ab_tiles_{arm}.npz")
+        tpath = os.path.join("build", f"ab{N_AB}_tiles_{arm}.npz")
         if os.path.exists(tpath):
             tidx = TileIndex.load_npz(tpath)
         else:
@@ -165,7 +207,7 @@ def main():
         del dev, tidx
         print(f"{arm}: {result[arm]}", flush=True)
 
-    with open("ab_union_1m.json", "w") as f:
+    with open(f"ab_union_{N_AB}.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result), flush=True)
 
