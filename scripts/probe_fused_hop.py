@@ -64,7 +64,9 @@ if os.environ.get("PROBE_SHARD"):
         if tpath:
             tidx.save_npz(tpath)
 else:
-    N, N_TRAIN, D, SEED = 100_000, 50_000, 200, 0
+    N = int(os.environ.get("PROBE_N", 100_000))
+    N_TRAIN = int(os.environ.get("PROBE_TRAIN", N // 2))
+    D, SEED = 200, 0
     base, _, eval_q = benchmod.make_data(N, N_TRAIN, 8192, D, SEED)
     eval_q = eval_q[:BATCH]
     cache = os.path.join("build", f"bench_idx_{N}_{N_TRAIN}_{D}_{SEED}.npz")
