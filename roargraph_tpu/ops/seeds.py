@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -56,41 +58,57 @@ def _chunk_schedule(n: int, chunk: int):
     return (jnp.asarray(offs, jnp.int32), jnp.asarray(thresh, jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("n_centroids", "iters", "chunk"))
-def _kmeans(base, key, *, n_centroids, iters, chunk):
-    """Lloyd's k-means (L2) on device; returns centroids [C, D].
+@functools.partial(jax.jit, static_argnames=("n_centroids", "chunk"))
+def _kmeans_iter(base, centroids, *, n_centroids, chunk):
+    """One Lloyd iteration (L2) on device; returns updated centroids.
 
     Assignment is chunked over base rows via in-place dynamic slices: each
     chunk scores [chunk, C] on the MXU, then scatter-adds its members into
     per-centroid sums accumulated in a scan carry — peak memory stays
     O(chunk * C + C * D) regardless of N, with no full-size temporary."""
     n, d_dim = base.shape
-    idx = jax.random.choice(key, n, (n_centroids,), replace=False)
-    centroids = base[idx]
     offs, thresh = _chunk_schedule(n, chunk)
 
-    def step(centroids, _):
-        def one(carry, args):
-            sums, counts = carry
-            off, th = args
-            xc = jax.lax.dynamic_slice_in_dim(base, off, chunk)
-            fresh = (off + jnp.arange(chunk, dtype=jnp.int32)) >= th
-            d = pairwise_scores(xc, centroids, Metric.L2,
-                                precision=jax.lax.Precision.DEFAULT)
-            a = jnp.argmin(d, axis=1)
-            a = jnp.where(fresh, a, n_centroids)  # overlap rows scatter-drop
-            sums = sums.at[a].add(xc, mode="drop")
-            counts = counts.at[a].add(1.0, mode="drop")
-            return (sums, counts), None
+    def one(carry, args):
+        sums, counts = carry
+        off, th = args
+        xc = jax.lax.dynamic_slice_in_dim(base, off, chunk)
+        fresh = (off + jnp.arange(chunk, dtype=jnp.int32)) >= th
+        d = pairwise_scores(xc, centroids, Metric.L2,
+                            precision=jax.lax.Precision.DEFAULT)
+        a = jnp.argmin(d, axis=1)
+        a = jnp.where(fresh, a, n_centroids)  # overlap rows scatter-drop
+        sums = sums.at[a].add(xc, mode="drop")
+        counts = counts.at[a].add(1.0, mode="drop")
+        return (sums, counts), None
 
-        init = (jnp.zeros((n_centroids, d_dim), base.dtype),
-                jnp.zeros((n_centroids,), base.dtype))
-        (sums, counts), _ = jax.lax.scan(one, init, (offs, thresh))
-        counts = counts[:, None]
-        new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
-        return new, None
+    init = (jnp.zeros((n_centroids, d_dim), base.dtype),
+            jnp.zeros((n_centroids,), base.dtype))
+    (sums, counts), _ = jax.lax.scan(one, init, (offs, thresh))
+    counts = counts[:, None]
+    return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centroids)
 
-    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+
+def _kmeans(base, key, *, n_centroids, iters, chunk):
+    """Lloyd's k-means (L2); returns centroids [C, D].
+
+    The iteration loop runs on the host — one device program per Lloyd
+    iteration — so (a) no single program approaches the tunnel's long-running
+    -program failure modes at 10M-scale shapes, and (b) slow iterations emit
+    progress (watchdogged drivers key liveness off output cadence)."""
+    idx = jax.random.choice(key, base.shape[0], (n_centroids,), replace=False)
+    centroids = base[idx]
+    for i in range(iters):
+        t0 = time.time()
+        centroids = _kmeans_iter(base, centroids, n_centroids=n_centroids,
+                                 chunk=chunk)
+        # scalar fetch = real sync (block_until_ready is unreliable through
+        # the device relay) — keeps dispatch from running ahead of execution
+        float(centroids[0, 0])
+        dt = time.time() - t0
+        if dt > 5.0:  # silent for tests/small shapes
+            print(f"kmeans iter {i + 1}/{iters}: {dt:.0f}s",
+                  file=sys.stderr, flush=True)
     return centroids
 
 

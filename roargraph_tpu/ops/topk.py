@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -222,12 +224,17 @@ def knn(
         out_ids = np.empty((q, k), dtype=np.uint32)
         out_d = np.empty((q, k), dtype=np.float32) if return_dists else None
         pending = []
+        last_msg = time.time()
 
         def _drain_dev(item):
+            nonlocal last_msg
             s, e, ids, d = item
             out_ids[s:e] = np.asarray(ids)[: e - s].astype(np.uint32)
             if return_dists:
                 out_d[s:e] = np.asarray(d)[: e - s]
+            if time.time() - last_msg > 120:  # liveness for watchdogged runs
+                print(f"knn: {e}/{q}", file=sys.stderr, flush=True)
+                last_msg = time.time()
 
         for s in range(0, q, group):
             e = min(s + group, q)
@@ -248,12 +255,17 @@ def knn(
     out_ids = np.empty((q, k), dtype=np.uint32)
     out_d = np.empty((q, k), dtype=np.float32) if return_dists else None
     pending = []
+    last_msg = time.time()
 
     def _drain(item):
+        nonlocal last_msg
         s, e, ids, d = item
         out_ids[s:e] = np.asarray(ids)[: e - s].astype(np.uint32)
         if return_dists:
             out_d[s:e] = np.asarray(d)[: e - s]
+        if time.time() - last_msg > 120:  # liveness for watchdogged runs
+            print(f"knn: {e}/{q}", file=sys.stderr, flush=True)
+            last_msg = time.time()
 
     # Bounded pipeline depth: dispatch ahead so device work overlaps result
     # fetches, but drain the oldest pending batch past a small window so the

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -180,9 +182,15 @@ class TileIndex:
         extra = {} if self.radii is None else dict(radii=self.radii)
         if self.scales is not None:
             extra["scales"] = self.scales
-        np.savez_compressed(path, tiles=self.tiles, gids=self.gids,
-                            centroids=self.centroids, adj=self.adj,
-                            ep=np.int64(self.ep), **extra)
+        # compression is single-core zlib at ~tens of MB/s: a multi-GB tile
+        # cache (10M-scale) would sit silent for the better part of an hour
+        # under a stall watchdog — store big caches raw (vector data barely
+        # compresses; load_npz reads either format)
+        save = (np.savez_compressed if self.tiles.nbytes < (1 << 28)
+                else np.savez)
+        save(path, tiles=self.tiles, gids=self.gids,
+             centroids=self.centroids, adj=self.adj,
+             ep=np.int64(self.ep), **extra)
 
     @staticmethod
     def load_npz(path: str) -> "TileIndex":
@@ -202,6 +210,7 @@ class TileIndex:
         out = np.zeros(K, np.float32)
         CH = max(1, (1 << 28) // max(self.tiles.shape[1]
                                      * self.tiles.shape[2] * 4, 1))
+        last_msg = time.time()
         for s in range(0, K, CH):
             e = min(s + CH, K)
             t = self.tiles[s:e].astype(np.float32)
@@ -211,6 +220,9 @@ class TileIndex:
             r = np.sqrt(np.maximum((diff * diff).sum(axis=2), 0))
             r = np.where(self.gids[s:e] != PAD, r, 0.0)
             out[s:e] = r.max(axis=1)
+            if time.time() - last_msg > 120:  # watchdog liveness
+                print(f"with_radii: {e}/{K}", file=sys.stderr, flush=True)
+                last_msg = time.time()
         return dataclasses.replace(self, radii=out)
 
     def astype(self, dtype) -> "TileIndex":
@@ -239,6 +251,7 @@ class TileIndex:
         scales = np.zeros(K, np.float32)
         q = np.zeros((K, C, D), np.int8)
         CH = max(1, (1 << 28) // max(C * D * 4, 1))  # chunk the f32 temp
+        last_msg = time.time()
         for s in range(0, K, CH):
             e = min(s + CH, K)
             t = idx.tiles[s:e].astype(np.float32)
@@ -247,6 +260,9 @@ class TileIndex:
             scales[s:e] = sc
             q[s:e] = np.clip(np.rint(t / sc[:, None, None]),
                              -127, 127).astype(np.int8)
+            if time.time() - last_msg > 120:  # watchdog liveness
+                print(f"quantize_int8: {e}/{K}", file=sys.stderr, flush=True)
+                last_msg = time.time()
         return dataclasses.replace(idx, tiles=q, scales=scales)
 
 
@@ -254,16 +270,49 @@ class TileIndex:
 # Build: balanced clustering + cluster graph from RoarGraph edges
 # ---------------------------------------------------------------------------
 
+def _greedy_rounds(assign: np.ndarray, used: np.ndarray, cap: int,
+                   todo: np.ndarray, choice_ids: np.ndarray,
+                   choice_d: np.ndarray) -> np.ndarray:
+    """Capacity-respecting greedy rounds: round j offers every still-
+    unassigned point (rows of ``todo``) its j-th choice; within a round,
+    closer points win the remaining slots (rank-within-cluster via one
+    lexsort). Mutates ``assign``/``used``; returns the still-unassigned
+    subset of ``todo``."""
+    pos = np.arange(todo.size)
+    for j in range(choice_ids.shape[1]):
+        rem = pos[assign[todo] < 0]
+        if rem.size == 0:
+            break
+        c = choice_ids[rem, j]
+        d = choice_d[rem, j]
+        order = np.lexsort((d, c))
+        c_s, rem_s = c[order], rem[order]
+        is_first = np.empty(c_s.size, bool)
+        is_first[0] = True
+        is_first[1:] = c_s[1:] != c_s[:-1]
+        idx = np.arange(c_s.size)
+        first_idx = np.maximum.accumulate(np.where(is_first, idx, 0))
+        rank = idx - first_idx
+        ok = used[c_s] + rank < cap
+        assign[todo[rem_s[ok]]] = c_s[ok]
+        used += np.bincount(c_s[ok], minlength=used.size)
+    return todo[assign[todo] < 0]
+
+
 def _balanced_assign(base: np.ndarray, n_clusters: int, cap: int, *,
                      iters: int = 6, seed: int = 0,
                      n_choices: int = 8) -> np.ndarray:
     """Capacity-constrained k-means assignment: every cluster gets at most
     ``cap`` members. Returns assign [N] int64.
 
-    Vectorized greedy rounds: round j offers every still-unassigned point its
-    j-th-closest centroid; within a round, closer points win the remaining
-    slots (rank-within-cluster via one lexsort). Leftovers after
-    ``n_choices`` rounds fill arbitrary free slots.
+    Vectorized greedy rounds over each point's ``n_choices`` nearest
+    centroids; points left over when all their choices are full go through
+    spill passes (re-kNN against only the clusters with free capacity) so
+    every point still lands in the nearest cluster that can take it —
+    arbitrary-slot filling is the last resort only. At 10M-scale the
+    demand distribution over sample-trained centroids is skewed enough
+    that 8 choices strand ~45% of points (measured, t2i-10M); the choice
+    list is widened at large N instead.
     """
     from .ops.seeds import _kmeans
     from .ops.topk import knn
@@ -283,60 +332,78 @@ def _balanced_assign(base: np.ndarray, n_clusters: int, cap: int, *,
     else:
         train = base
     from .ops.seeds import _assign_chunk
+    t0 = time.time()
     cents = np.asarray(_kmeans(jnp.asarray(train), jax.random.PRNGKey(seed),
                                n_centroids=n_clusters, iters=iters,
                                chunk=_assign_chunk(train.shape[0],
                                                    n_clusters)))
+    if time.time() - t0 > 5:
+        print(f"_balanced_assign: kmeans {time.time() - t0:.0f}s "
+              f"(K={n_clusters}, train={train.shape[0]})",
+              file=sys.stderr, flush=True)
+    big = n > SAMPLE_GATE
+    if big:
+        # skewed demand over sample-trained centroids: widen the choice
+        # list so dense-region points see past their oversubscribed
+        # neighborhoods (measured at t2i-10M: 8 choices strand 45% of
+        # points; host memory cost is n * n_choices * 12 bytes)
+        n_choices = max(n_choices, 64)
     n_choices = min(n_choices, n_clusters)
     # per-point closest centroids (tiled on device); at large N use bf16
     # multiplies + per-tile approx selection — assignment choices tolerate
     # tail-order noise, and f32-precision selection alone would dominate
     # the whole tile build at 10M
-    big = n > SAMPLE_GATE
+    t0 = time.time()
     choice_ids, choice_d = knn(
         base, cents, k=n_choices, metric=Metric.L2,
         precision=(jax.lax.Precision.DEFAULT if big
                    else jax.lax.Precision.HIGHEST),
         approx=big)
+    if time.time() - t0 > 5:
+        print(f"_balanced_assign: choice knn {time.time() - t0:.0f}s",
+              file=sys.stderr, flush=True)
     choice_ids = choice_ids.astype(np.int64)
 
     assign = np.full(n, -1, np.int64)
     used = np.zeros(n_clusters, np.int64)
-    for j in range(n_choices):
-        todo = np.flatnonzero(assign < 0)
+    todo = _greedy_rounds(assign, used, cap, np.arange(n, dtype=np.int64),
+                          choice_ids, choice_d)
+    # spill passes: points whose every choice filled up re-rank against
+    # only the clusters that still have room, so they land in the nearest
+    # cluster that can take them (capacity >= n by construction)
+    for _ in range(4):
         if todo.size == 0:
             break
-        c = choice_ids[todo, j]
-        d = choice_d[todo, j]
-        order = np.lexsort((d, c))
-        c_s, todo_s = c[order], todo[order]
-        is_first = np.empty(c_s.size, bool)
-        if c_s.size:
-            is_first[0] = True
-            is_first[1:] = c_s[1:] != c_s[:-1]
-        idx = np.arange(c_s.size)
-        first_idx = np.maximum.accumulate(np.where(is_first, idx, 0))
-        rank = idx - first_idx
-        ok = used[c_s] + rank < cap
-        assign[todo_s[ok]] = c_s[ok]
-        used += np.bincount(c_s[ok], minlength=n_clusters)
-    todo = np.flatnonzero(assign < 0)
+        free = np.flatnonzero(used < cap)
+        if free.size == 0:
+            break
+        print(f"_balanced_assign: spill pass for {todo.size} points over "
+              f"{free.size} free clusters", file=sys.stderr, flush=True)
+        sub_ids, sub_d = knn(
+            np.ascontiguousarray(base[todo]), cents[free],
+            k=min(8, free.size), metric=Metric.L2,
+            precision=(jax.lax.Precision.DEFAULT if big
+                       else jax.lax.Precision.HIGHEST),
+            approx=big and free.size > 4096)
+        before = todo.size
+        todo = _greedy_rounds(assign, used, cap, todo,
+                              free[sub_ids.astype(np.int64)], sub_d)
+        if todo.size == before:
+            break
     if todo.size:
         free = cap - used
         slots = np.repeat(np.arange(n_clusters), np.maximum(free, 0))
         assign[todo] = slots[: todo.size]
         # Assignment-quality observability: points placed outside their
-        # n_choices nearest centroids are a silent recall risk that grows
-        # with occupancy pressure — surface the count and the distance
-        # penalty instead of hiding it.
-        import sys
+        # choice lists are a silent recall risk that grows with occupancy
+        # pressure — surface the count and the distance penalty instead
+        # of hiding it.
         d_got = np.linalg.norm(base[todo] - cents[assign[todo]], axis=1)
         d_want = np.sqrt(np.maximum(choice_d[todo, 0], 0))
         print(f"_balanced_assign: {todo.size}/{n} points "
-              f"({100.0 * todo.size / n:.2f}%) placed outside their "
-              f"{n_choices} nearest centroids; mean dist "
-              f"{d_got.mean():.3f} vs nearest {d_want.mean():.3f}",
-              file=sys.stderr, flush=True)
+              f"({100.0 * todo.size / n:.2f}%) placed arbitrarily after "
+              f"spill passes; mean dist {d_got.mean():.3f} vs nearest "
+              f"{d_want.mean():.3f}", file=sys.stderr, flush=True)
     return assign
 
 
@@ -365,7 +432,10 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
     N, D = base.shape
     C = int(cluster_size)
     K = max(1, -(-N // max(1, int(C * fill))))
+    big = N > 3_000_000  # stage liveness prints for watchdogged drivers
     assign = _balanced_assign(base, K, C, iters=kmeans_iters, seed=seed)
+    if big:
+        print("build_tiles: assignment done", file=sys.stderr, flush=True)
 
     # ---- reorder into tiles ------------------------------------------------
     order = np.argsort(assign, kind="stable")
@@ -381,8 +451,15 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
     centroids = np.zeros((K, D), np.float32)
     nz = counts > 0
     sums = np.zeros((K, D), np.float64)
-    np.add.at(sums, assign, base.astype(np.float64))
+    # chunked accumulation: base.astype(f64) alone is 2x N*D*8 bytes at once
+    CH = max(1, (1 << 27) // max(D, 1))
+    for s in range(0, N, CH):
+        np.add.at(sums, assign[s: s + CH],
+                  base[s: s + CH].astype(np.float64))
     centroids[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+    if big:
+        print("build_tiles: tiles+centroids done", file=sys.stderr,
+              flush=True)
 
     # ---- cluster graph from vector-level RoarGraph edges -------------------
     src_c = np.repeat(assign, graph.ids.shape[1])
@@ -397,6 +474,9 @@ def build_tiles(graph: PaddedGraph, base, *, cluster_size: int = 512,
     b = np.concatenate([dst_c, src_c])
     keys, cnt = np.unique(a * K + b, return_counts=True)
     e_src, e_dst = keys // K, keys % K
+    if big:
+        print("build_tiles: edge aggregation done", file=sys.stderr,
+              flush=True)
     # top-Mc destinations per source by edge count (desc), count ties by id
     o = np.lexsort((e_dst, -cnt, e_src))
     e_src, e_dst = e_src[o], e_dst[o]

@@ -83,6 +83,7 @@ def _load_or_build_int8(base):
             g = PaddedGraph.load_npz(
                 os.path.join("build", f"{TAG}_graph_shard{s}.npz"))
             graphs.append(g)
+            print(f"union: shard {s} graph loaded", flush=True)
         width = max(g.ids.shape[1] for g in graphs)
         union = np.full((N, width), PAD, np.int32)
         for s, g in enumerate(graphs):

@@ -455,3 +455,30 @@ def test_dense_nbr_lookup_l2(setup):
     b = tile_search(tidx, queries, k=10, T=6, Lc=12, metric="l2",
                     batch_size=256, device_arrays=dev, nbr_impl="dense")
     assert recall(b[0], gt_ids) >= recall(a[0], gt_ids) - 0.005
+
+
+def test_balanced_assign_spill_passes(capfd):
+    """Capacity overflow path of ``_balanced_assign`` (the 10M defect):
+    a point mass whose every candidate centroid fills must be re-ranked
+    against clusters with free capacity (spill passes), never dumped into
+    arbitrary slots — arbitrary placement destroys tile geometry and
+    capped 10M recall at 0.40 (DESIGN.md round-4 notes)."""
+    from roargraph_tpu.tiles import _balanced_assign
+
+    rng = np.random.default_rng(3)
+    n, d, K, cap = 4096, 8, 32, 144  # K*cap = 4608 >= n
+    heavy = n * 6 // 10  # 60% of points near-coincident: their n_choices=2
+    # nearest centroids saturate after 2*cap placements
+    base = np.concatenate([
+        rng.normal(0, 1e-3, (heavy, d)),
+        rng.uniform(-4, 4, (n - heavy, d)),
+    ]).astype(np.float32)
+    assign = _balanced_assign(base, K, cap, iters=3, seed=0, n_choices=2)
+    err = capfd.readouterr().err
+    assert assign.min() >= 0 and assign.max() < K
+    counts = np.bincount(assign, minlength=K)
+    assert counts.max() <= cap
+    # the overflow actually happened and was resolved by spilling, not by
+    # the arbitrary-slot fallback
+    assert "spill pass" in err
+    assert "arbitrarily" not in err
