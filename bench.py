@@ -324,14 +324,21 @@ def main():
     if os.environ.get("BENCH_FLAT_DTYPE", "float32") != "float32":
         flat_base = base_dev.astype(jnp2.bfloat16)
 
+    def _fbatch(c):
+        # batch shrinks with L_pq*N*D so one lockstep program stays under
+        # the backend's long-program fault threshold (the medoid sweep at
+        # N=1M/L=500/B=8192 reproducibly kills the tunnel worker)
+        return reval.flat_sweep_batch(N, D, c.L_pq, batch)
+
     def tpu_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
-                             batch_size=batch, L_bucket=bucket)
+                             batch_size=_fbatch(c), L_bucket=bucket)
         return search(graph, flat_base, eval_q, c2)
 
     def tpu_seeded_fn(c):
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
-                             batch_size=batch, n_seeds=8, L_bucket=bucket)
+                             batch_size=_fbatch(c), n_seeds=8,
+                             L_bucket=bucket)
         return search(graph, flat_base, eval_q, c2, seeds=sidx)
 
     def tpu_dedup_fn(c):
@@ -339,8 +346,8 @@ def main():
         # uncounted): the fast-flat serving mode where the visited bitmask
         # gather/scatter dominates the hop (N >= ~1M, probe_merge.py)
         c2 = rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
-                             batch_size=batch, n_seeds=8, L_bucket=bucket,
-                             visited_mode="dedup")
+                             batch_size=_fbatch(c), n_seeds=8,
+                             L_bucket=bucket, visited_mode="dedup")
         return search(graph, flat_base, eval_q, c2, seeds=sidx)
 
     # The device degrades within long processes (tunnel tenancy); run the

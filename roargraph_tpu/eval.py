@@ -142,6 +142,30 @@ def sweep(
     return rows
 
 
+def flat_sweep_batch(n: int, d: int, l_pq: int, cap: int = 8192) -> int:
+    """Device batch size for one flat-engine sweep point, bounded so a
+    single lockstep program stays well under the tunneled backend's
+    long-program fault threshold (worker crashes reproduce at ~60-75 s of
+    program wall: N=1M medoid L=500 B=8192; N=100k L>=1200 B=8192 —
+    DESIGN.md round-4 notes). Program wall grows ~linearly in batch and
+    L_pq (hops) and with per-hop gather cost (which rises with N and D);
+    halving the batch halves the wall at <5% QPS cost at these L — the
+    points this touches are device-bound, not dispatch-bound."""
+    scaled = l_pq * (2 if d >= 384 else 1)  # 512-d hops cost ~2.5x 200-d
+    if n >= 500_000:
+        if scaled >= 1500:
+            b = 512
+        elif scaled >= 800:
+            b = 1024
+        elif scaled >= 300:
+            b = 4096
+        else:
+            b = 8192
+    else:
+        b = 4096 if scaled >= 1200 else 8192
+    return max(1, min(cap, b))
+
+
 def qps_at_recall(rows: Iterable[dict], target: float) -> float | None:
     """Best QPS among sweep rows meeting the recall target (the paper's
     headline operating point, e.g. recall@10 = 0.95)."""

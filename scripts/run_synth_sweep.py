@@ -82,6 +82,7 @@ def main():
                              f"first")
         graph = rt.PaddedGraph.load_npz(cache)
         base, _, eval_q = make_data(N, N_TRAIN, N_EVAL, D, SEED)
+    D = int(np.shape(base)[1])  # authoritative over SWEEP_D in graph mode
     base_dev = jnp.asarray(base)
     # SWEEP_DTYPE=bfloat16 halves the engine's gather bytes/HBM footprint
     # (scores still accumulate f32; ids/cmps/hops semantics unchanged)
@@ -102,10 +103,14 @@ def main():
         "SWEEP_BUCKETS", "100,512,1024,2048").split(",")]
 
     def _cfg(c):
-        # points above the largest bucket compile their own exact width
+        # points above the largest bucket compile their own exact width;
+        # batch shrinks with L_pq*N*D so one lockstep program stays under
+        # the backend's long-program fault threshold (eval.flat_sweep_batch)
         bucket = next((b for b in buckets if c.L_pq <= b), c.L_pq)
         return rt.SearchConfig(k=c.k, L_pq=c.L_pq, metric=c.metric,
-                               batch_size=batch, L_bucket=bucket)
+                               batch_size=reval.flat_sweep_batch(
+                                   N, D, c.L_pq, batch),
+                               L_bucket=bucket)
 
     def fn(c):
         return search(graph, search_base, eval_q, _cfg(c))
@@ -114,7 +119,9 @@ def main():
         # one device batch: compiles/warms the exact timed program without
         # paying a full extra pass per point (reference warms with 100
         # serial queries, tests/test_search_roargraph.cpp:197-200)
-        search(graph, search_base, eval_q[:min(batch, N_EVAL)], _cfg(c))
+        cfg = _cfg(c)
+        search(graph, search_base, eval_q[:min(cfg.batch_size, N_EVAL)],
+               cfg)
 
     t0 = time.time()
     rows = reval.sweep(fn, sweep_l, np.asarray(gt_ids), k=K,

@@ -63,3 +63,20 @@ def test_sweep_raw_values_below_k():
     assert seen[::2] == [4, 8, 16]  # warmup + timed call per point
     assert [r["L_pq"] for r in rows] == [4, 8, 16]
     assert all(r["recall"] == 1.0 for r in rows)
+
+
+def test_flat_sweep_batch_schedule():
+    """Program-wall-bounding batch schedule (DESIGN.md round-4: the tunnel
+    worker dies on ~60-75 s device programs; batch shrinks with L*N*D)."""
+    from roargraph_tpu.eval import flat_sweep_batch as f
+
+    assert f(100_000, 200, 1100) == 8192   # round-2 rule preserved
+    assert f(100_000, 200, 1200) == 4096
+    assert f(1_000_000, 200, 200) == 8192
+    assert f(1_000_000, 200, 500) == 4096  # the observed 1M medoid fault
+    assert f(1_000_000, 200, 1000) == 1024
+    assert f(1_000_000, 200, 2000) == 512
+    assert f(2_500_000, 512, 400) == 1024  # 512-d shifts tiers down
+    assert f(1_000_000, 200, 10, cap=2048) == 2048  # cap respected
+    assert all(f(n, d, l) >= 1 for n in (1, 10**6) for d in (8, 512)
+               for l in (1, 10_000))
