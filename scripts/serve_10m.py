@@ -146,13 +146,30 @@ def main():
               "target_recall": TARGET, "k": K, "n_eval": N_EVAL}
 
     def write_json():
-        with open(f"eval_{TAG}_tiles.json", "w") as f:
+        # SERVE_OUT_SUFFIX keeps comparison arms (e.g. C=512 tiles) from
+        # overwriting the headline artifact
+        sfx = os.environ.get("SERVE_OUT_SUFFIX", "")
+        with open(f"eval_{TAG}_tiles{sfx}.json", "w") as f:
             json.dump(result, f, indent=1)
 
+    # Queue width: Lc < T truncates the walk (each hop expands one queued
+    # cluster), and the 10M Lc probe (eval_t2i10m_lc.json) measured Lc=T
+    # vs Lc=2T as recall-identical (same expanded set: the frontier is
+    # centroid-score-driven) at +42% QPS — per-hop queue maintenance
+    # scales with Lc and dominates at large T. Default factor 1; the
+    # round-3 2T default stays selectable via SERVE_LC_FACTOR=2.
+    lc_factor = float(os.environ.get("SERVE_LC_FACTOR", 1))
+
     def int8_fn(T, merge_every=1, early_exit=False, impl=None):
+        # T-aware batch: a T=1536/B=8192 program runs ~57 s of device wall
+        # at 10M — at the tunnel's long-program fault threshold (T=3072
+        # kills the worker 8/8). Halving the batch halves program wall at
+        # these device-bound T.
+        bsz = 4096 if int(T) >= 1024 else 8192
         return tile_search(q8, q_dev, k=K, T=int(T),
-                           Lc=max(2 * int(T), 16), metric="ip",
-                           batch_size=8192, device_arrays=dev8,
+                           Lc=max(int(lc_factor * int(T)), int(T), 16),
+                           metric="ip",
+                           batch_size=bsz, device_arrays=dev8,
                            scan_impl=impl or scan, merge_every=merge_every,
                            early_exit=early_exit)
 
@@ -234,8 +251,11 @@ def main():
 
     # adaptive early-exit (T becomes a cap; per-query stop on the cluster
     # score bound) — two points bracketing the operating point, where
-    # per-query T variance is widest
-    if not os.environ.get("SERVE_NO_EE"):
+    # per-query T variance is widest. Gated at 10M-scale K: the first
+    # early-exit program at K~56k deterministically kills the tunnel
+    # worker (2/2 observed — DESIGN.md round-4); SERVE_EE=1 forces it.
+    ee_ok = (q8.num_clusters <= 20_000 or os.environ.get("SERVE_EE"))
+    if not os.environ.get("SERVE_NO_EE") and ee_ok:
         ee_rows = reval.sweep(
             lambda T: int8_fn(T, early_exit=True),
             sorted({best_T, min(2 * best_T, t_cap)}), gt_ids, k=K,
