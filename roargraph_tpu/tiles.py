@@ -900,7 +900,8 @@ def _scan_clusters_grouped_pallas(tiles_t, f, qp, *, nq_max: int = 64,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
-                     "early_exit", "exit_slack", "nbr_impl", "merge_every"))
+                     "early_exit", "exit_slack", "nbr_impl", "merge_every",
+                     "dedup_impl", "expand_batch"))
 def tile_search_batch(
     tiles_t: jnp.ndarray,    # [K, D_pad, C] transposed scan layout (upload())
     gids: jnp.ndarray,       # [K, C] int32
@@ -958,6 +959,28 @@ def tile_search_batch(
                              # high dim); None = auto min(1, 5/sqrt(D)):
                              # residual projections concentrate around
                              # |q|*R/sqrt(D), so ~5 sigma of margin remains
+    dedup_impl: str = "compare",  # cluster-dedup on enqueue: "compare"
+                             # checks neighbors against the expanded list
+                             # ([B, Mc, T]) and the queue ([B, Lc, Mc]) —
+                             # exact re-enqueue semantics, but the compare
+                             # volume grows with T and Lc (at 10M shapes,
+                             # T=768/Lc=768, it is ~400M ops/hop and
+                             # dominates). "flags" keeps a [B, K] int8
+                             # ever-enqueued bitmap: O(Mc) gather+scatter
+                             # per hop, constant in T/Lc; differs only in
+                             # that a cluster pushed off the queue bottom
+                             # can never re-enter (it ranked below Lc live
+                             # candidates — measured recall-neutral).
+    expand_batch: int = 1,   # expand this many clusters per loop iteration
+                             # sharing ONE queue sort + ONE result merge:
+                             # per-expansion queue cost drops ~E-fold
+                             # ((Lc + E*Mc)/E vs Lc + Mc). The E picks read
+                             # an iteration-stale frontier (batched
+                             # best-first) — not bit-identical to serial
+                             # expansion, recall-neutral at E << T.
+                             # Requires dedup_impl="flags" (the queue-
+                             # membership compare can't see siblings'
+                             # in-flight candidates) and not early_exit.
 ):
     """Lockstep tile search: a fixed ``T``-step fori_loop (static shapes, no
     data-dependent control flow), one MXU contraction per expanded cluster.
@@ -976,6 +999,16 @@ def tile_search_batch(
     if merge_every > 1 and early_exit:
         raise ValueError("merge_every > 1 is incompatible with early_exit "
                          "(the stop rule reads the running k-th result)")
+    if dedup_impl not in ("compare", "flags"):
+        raise ValueError(f"unknown dedup_impl {dedup_impl!r}")
+    if expand_batch > 1:
+        if early_exit:
+            raise ValueError("expand_batch > 1 is incompatible with "
+                             "early_exit (per-hop stop rule)")
+        if dedup_impl != "flags":
+            raise ValueError("expand_batch > 1 requires dedup_impl='flags' "
+                             "(queue-membership compares can't see sibling "
+                             "expansions' in-flight candidates)")
     # neighbor centroid-score lookup: a [B, Mc] element gather costs ~15 ns
     # per element on TPU; the one-hot einsum form runs as dense vector math
     # (~2x faster) but materializes [B, Mc, K] — only worth it while that
@@ -1029,11 +1062,20 @@ def tile_search_batch(
     rk_i = jnp.full((B, k), BIG, jnp.int32)
     # visited = the expanded-cluster list (one slot per hop): membership
     # tests are a [B, Mc, T] vector compare instead of bitmask
-    # gather/scatter (2.4x faster at serving shapes, probe_hop_variants)
+    # gather/scatter (2.4x faster at serving shapes, probe_hop_variants —
+    # but the compare volume grows with T; dedup_impl="flags" replaces it
+    # at large T*K serving shapes)
     xlist = jnp.full((B, T), BIG, jnp.int32)
     cmps = jnp.zeros((B,), jnp.int32)
     hops = jnp.zeros((B,), jnp.int32)
     b_arange = jnp.arange(B)
+    if dedup_impl == "flags":
+        # ever-enqueued bitmap; initial queue entries are marked (invalid
+        # slots carry id BIG -> out-of-bounds -> dropped)
+        enq = jnp.zeros((B, K), jnp.int8)
+        enq = enq.at[b_arange[:, None], q_i].set(1, mode="drop")
+    else:
+        enq = jnp.zeros((1, 1), jnp.int8)  # dummy carry
     qf = queries.astype(jnp.float32)
     qp = jnp.pad(qf, ((0, 0), (0, Dp - qf.shape[1])))  # zero-padded to D_pad
 
@@ -1057,13 +1099,15 @@ def tile_search_batch(
         # improvable set only shrinks (rk_d is monotone), so no livelock
         return unexp & (bnd < rk_d[:, k - 1][:, None])
 
-    def expand(t, wstate, rk_d):
+    def expand(t, wstate, rk_d, defer_queue=False):
         """One cluster expansion WITHOUT the running top-k merge: frontier
         select, xlist slot, cluster scan/score, queue update, counters.
         Returns the walk state plus this hop's (scores, ids) candidates —
         the walk depends only on centroid scores (and, under early_exit,
-        on rk_d), so the rk merge can be deferred across hops."""
-        q_d, q_i, q_e, xlist, cmps, hops = wstate
+        on rk_d), so the rk merge can be deferred across hops. With
+        ``defer_queue`` the new frontier candidates are returned instead of
+        sorted into the queue (expand_batch shares one sort per group)."""
+        q_d, q_i, q_e, xlist, cmps, hops, enq = wstate
         unexp = eligible(q_d, q_i, q_e, rk_d)
         active = jnp.any(unexp, axis=1)
         jj = jnp.argmax(unexp, axis=1)
@@ -1130,15 +1174,27 @@ def tile_search_batch(
             ids = jnp.where(live, ids, BIG)
             n_scored = jnp.where(active, jnp.sum(live, axis=1), 0)
 
+        nbr_extra = None
         if use_graph:
             # merge unvisited graph neighbors into the cluster queue, ranked
             # by their precomputed centroid score
             nbr = adj[f]                                  # [B, Mc]
             n_ok = (nbr != PAD) & active[:, None]
             n_safe = jnp.clip(nbr, 0, K - 1)
-            seen = jnp.any(n_safe[:, :, None] == xlist[:, None, :], axis=2)
-            queued = jnp.any(q_i[:, :, None] == n_safe[:, None, :], axis=1)
-            n_ok = n_ok & ~seen & ~queued
+            if dedup_impl == "flags":
+                # O(Mc) bitmap gather+scatter, constant in T/Lc. The
+                # scatter is sequenced before any sibling expansion's
+                # gather by the enq data dependency, so expand_batch
+                # groups dedup exactly across their E expansions.
+                n_ok = n_ok & (enq[b_arange[:, None], n_safe] == 0)
+                mark = jnp.where(n_ok, n_safe, K)  # K = OOB -> dropped
+                enq = enq.at[b_arange[:, None], mark].set(1, mode="drop")
+            else:
+                seen = jnp.any(n_safe[:, :, None] == xlist[:, None, :],
+                               axis=2)
+                queued = jnp.any(q_i[:, :, None] == n_safe[:, None, :],
+                                 axis=1)
+                n_ok = n_ok & ~seen & ~queued
             if nbr_impl == "onehot":
                 oh = (n_safe[:, :, None] ==
                       jnp.arange(K)[None, None, :]).astype(s.dtype)
@@ -1164,16 +1220,20 @@ def tile_search_batch(
                 n_s = s[b_arange[:, None], n_safe]
             n_d = jnp.where(n_ok, n_s, jnp.inf)
             n_i = jnp.where(n_ok, nbr, BIG)
-            all_qd = jnp.concatenate([q_d, n_d], axis=1)
-            all_qi = jnp.concatenate([q_i, n_i], axis=1)
-            all_qe = jnp.concatenate([q_e, jnp.zeros_like(n_i)], axis=1)
-            all_qd, all_qi, all_qe = jax.lax.sort(
-                (all_qd, all_qi, all_qe), num_keys=2)
-            q_d, q_i, q_e = (all_qd[:, :Lc], all_qi[:, :Lc], all_qe[:, :Lc])
+            if defer_queue:
+                nbr_extra = (n_d, n_i)
+            else:
+                all_qd = jnp.concatenate([q_d, n_d], axis=1)
+                all_qi = jnp.concatenate([q_i, n_i], axis=1)
+                all_qe = jnp.concatenate([q_e, jnp.zeros_like(n_i)], axis=1)
+                all_qd, all_qi, all_qe = jax.lax.sort(
+                    (all_qd, all_qi, all_qe), num_keys=2)
+                q_d, q_i, q_e = (all_qd[:, :Lc], all_qi[:, :Lc],
+                                 all_qe[:, :Lc])
 
         cmps = cmps + n_scored
         hops = hops + active.astype(jnp.int32)
-        return (q_d, q_i, q_e, xlist, cmps, hops), sc, ids
+        return (q_d, q_i, q_e, xlist, cmps, hops, enq), sc, ids, nbr_extra
 
     def merge_rk(rk_d, rk_i, sc, ids):
         all_d = jnp.concatenate([rk_d, sc], axis=1)
@@ -1182,11 +1242,12 @@ def tile_search_batch(
         return -neg, jnp.take_along_axis(all_i, pos, axis=1)
 
     def hop(t, state):
-        q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops = state
-        w, sc, ids = expand(t, (q_d, q_i, q_e, xlist, cmps, hops), rk_d)
+        q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops, enq = state
+        w, sc, ids, _ = expand(t, (q_d, q_i, q_e, xlist, cmps, hops, enq),
+                               rk_d)
         rk_d, rk_i = merge_rk(rk_d, rk_i, sc, ids)
-        q_d, q_i, q_e, xlist, cmps, hops = w
-        return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops
+        q_d, q_i, q_e, xlist, cmps, hops, enq = w
+        return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops, enq
 
     def hop_group(sz, base=None):
         """sz expansions then ONE rk merge over their sz*C candidates —
@@ -1196,23 +1257,66 @@ def tile_search_batch(
         ``base``: absolute hop index of the group's first expansion
         (defaults to g*sz for the fori_loop over full groups)."""
         def body(g, state):
-            q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops = state
+            q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops, enq = state
             t0 = g * sz if base is None else base
-            w = (q_d, q_i, q_e, xlist, cmps, hops)
+            w = (q_d, q_i, q_e, xlist, cmps, hops, enq)
             scs, idss = [], []
             for j in range(sz):  # static unroll
-                w, sc, ids = expand(t0 + j, w, rk_d)
+                w, sc, ids, _ = expand(t0 + j, w, rk_d)
                 scs.append(sc)
                 idss.append(ids)
             rk_d, rk_i = merge_rk(rk_d, rk_i,
                                   jnp.concatenate(scs, axis=1),
                                   jnp.concatenate(idss, axis=1))
-            q_d, q_i, q_e, xlist, cmps, hops = w
-            return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops
+            q_d, q_i, q_e, xlist, cmps, hops, enq = w
+            return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops, enq
         return body
 
-    state = (q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops)
-    if merge_every > 1 and not early_exit:
+    def hop_ebatch(sz, base=None):
+        """sz expansions off an iteration-stale frontier, then ONE queue
+        sort over [Lc + sz*Mc] and ONE rk merge — per-expansion queue cost
+        (Lc + sz*Mc)/sz. Flags-dedup sequences each expansion's bitmap
+        scatter before its siblings' gathers, so cross-expansion duplicate
+        enqueues are impossible and every cluster is still expanded at
+        most once."""
+        def body(g, state):
+            q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops, enq = state
+            t0 = g * sz if base is None else base
+            w = (q_d, q_i, q_e, xlist, cmps, hops, enq)
+            scs, idss, nds, nis = [], [], [], []
+            for j in range(sz):  # static unroll
+                w, sc, ids, extra = expand(t0 + j, w, rk_d,
+                                           defer_queue=True)
+                scs.append(sc)
+                idss.append(ids)
+                if extra is not None:
+                    nds.append(extra[0])
+                    nis.append(extra[1])
+            q_d, q_i, q_e, xlist, cmps, hops, enq = w
+            if nds:
+                all_qd = jnp.concatenate([q_d] + nds, axis=1)
+                all_qi = jnp.concatenate([q_i] + nis, axis=1)
+                all_qe = jnp.concatenate(
+                    [q_e, jnp.zeros((B, all_qi.shape[1] - Lc), q_e.dtype)],
+                    axis=1)
+                all_qd, all_qi, all_qe = jax.lax.sort(
+                    (all_qd, all_qi, all_qe), num_keys=2)
+                q_d, q_i, q_e = (all_qd[:, :Lc], all_qi[:, :Lc],
+                                 all_qe[:, :Lc])
+            rk_d, rk_i = merge_rk(rk_d, rk_i,
+                                  jnp.concatenate(scs, axis=1),
+                                  jnp.concatenate(idss, axis=1))
+            return q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops, enq
+        return body
+
+    state = (q_d, q_i, q_e, xlist, rk_d, rk_i, cmps, hops, enq)
+    if expand_batch > 1:
+        Eb = min(expand_batch, T)
+        n_g = T // Eb
+        state = jax.lax.fori_loop(0, n_g, hop_ebatch(Eb), state)
+        if T - n_g * Eb:
+            state = hop_ebatch(T - n_g * Eb, base=n_g * Eb)(0, state)
+    elif merge_every > 1 and not early_exit:
         Mh = min(merge_every, T)
         n_g = T // Mh
         state = jax.lax.fori_loop(0, n_g, hop_group(Mh), state)
@@ -1231,7 +1335,7 @@ def tile_search_batch(
         _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state))
     else:
         state = jax.lax.fori_loop(0, T, hop, state)
-    _, _, _, _, rk_d, rk_i, cmps, hops = state
+    _, _, _, _, rk_d, rk_i, cmps, hops, _ = state
     out_i = jnp.where(rk_i == BIG, -1, rk_i)
     return out_i, rk_d, cmps, hops
 
@@ -1239,13 +1343,15 @@ def tile_search_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "T", "Lc", "metric", "use_graph", "scan_impl",
-                     "early_exit", "exit_slack", "nbr_impl", "merge_every"))
+                     "early_exit", "exit_slack", "nbr_impl", "merge_every",
+                     "dedup_impl", "expand_batch"))
 def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms,
                         radii=None, adj_cents=None, adj_cnorms=None,
                         scales=None, *,
                         k, T, Lc, metric, use_graph,
                         scan_impl, early_exit=False, exit_slack=None,
-                        nbr_impl="auto", merge_every=1):
+                        nbr_impl="auto", merge_every=1,
+                        dedup_impl="compare", expand_batch=1):
     """tile_search_batch + on-device packing of the four results into ONE
     [B, 2k+2] int32 array (dists bitcast). The serving host fetches a single
     buffer per batch — through a high-RTT device relay, four separate D2H
@@ -1256,7 +1362,8 @@ def _tile_search_packed(tiles_t, gids, centroids, adj, queries, norms,
         adj_cents, adj_cnorms, scales, k=k, T=T, Lc=Lc,
         metric=metric, use_graph=use_graph, scan_impl=scan_impl,
         radii=radii, early_exit=early_exit, exit_slack=exit_slack,
-        nbr_impl=nbr_impl, merge_every=merge_every)
+        nbr_impl=nbr_impl, merge_every=merge_every,
+        dedup_impl=dedup_impl, expand_batch=expand_batch)
     return pack_results(ids, dists, cmps, hops)
 
 
@@ -1266,7 +1373,8 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
                 device_arrays: tuple | None = None,
                 scan_impl: str = "auto", early_exit: bool = False,
                 exit_slack: float | None = None, nbr_impl: str = "auto",
-                merge_every: int = 1):
+                merge_every: int = 1, dedup_impl: str = "compare",
+                expand_batch: int = 1):
     """Host wrapper: loop device-sized query blocks; returns numpy
     (ids [Q, k], dists [Q, k], cmps [Q], hops [Q]).
 
@@ -1275,7 +1383,9 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
     cluster-grouped batched contraction — the fastest measured per-hop scan
     (DESIGN.md cost table); "pallas" (the double-buffered DMA kernel,
     C % 128 == 0 required) and "xla" (plain gather+dot) stay selectable for
-    A/B runs."""
+    A/B runs. ``dedup_impl="flags"`` + ``expand_batch=E`` is the large-T
+    serving mode: bitmap dedup (constant in T/Lc) and E expansions per
+    queue sort (see tile_search_batch)."""
     metric = Metric.parse(metric)
     if device_arrays is None:
         device_arrays = upload(index)
@@ -1329,7 +1439,9 @@ def tile_search(index: TileIndex, queries, *, k: int = 10, T: int = 8,
                                   metric=metric, use_graph=use_graph,
                                   scan_impl=scan_impl, early_exit=early_exit,
                                   exit_slack=exit_slack, nbr_impl=nbr_impl,
-                                  merge_every=merge_every)
+                                  merge_every=merge_every,
+                                  dedup_impl=dedup_impl,
+                                  expand_batch=expand_batch)
         pending.append((s, e, res))
     from .search import unpack_results
     for s, e, res in pending:

@@ -39,17 +39,19 @@ D = int(os.environ.get("B10M_D", 200))
 TAG = os.environ.get("B10M_TAG", f"t2i{N // 1_000_000}m")
 K = 10
 
-# (T, Lc, early_exit): queue-width cuts at the cleared T, then higher-T /
-# narrower-queue trades, then early-exit caps
+# (T, Lc, early_exit, dedup_impl, expand_batch). Round-4 measured facts:
+# Lc=T is the queue floor (Lc<T truncates the walk) and beats Lc=2T by
+# +42% at identical recall; early-exit programs at this K kill the worker
+# (skipped by default). The flags+expand_batch arms measure the two
+# engine levers that amortize the remaining per-hop queue cost: bitmap
+# dedup (constant in T/Lc) and E expansions per queue sort.
 DEFAULT_POINTS = [
-    (768, 1536, False),   # baseline = the serve's operating point
-    (768, 768, False),
-    (768, 384, False),
-    (768, 192, False),
-    (1024, 256, False),
-    (1536, 192, False),
-    (768, 768, True),
-    (1024, 384, True),
+    (768, 768, False, "compare", 1),   # round-4 best serial point
+    (768, 768, False, "flags", 1),     # dedup lever alone
+    (768, 768, False, "flags", 4),
+    (768, 768, False, "flags", 8),
+    (768, 768, False, "flags", 16),
+    (768, 768, False, "flags", 32),
 ]
 
 
@@ -70,37 +72,48 @@ def main():
     print(f"loaded {p8} K={tidx.num_clusters}", flush=True)
     points = DEFAULT_POINTS
     if os.environ.get("LC_POINTS"):
+        # token: "T:Lc[:ee][:flags][:eN]" — ee=early_exit, flags=bitmap
+        # dedup, eN=expand_batch N (implies flags)
         points = []
         for tok in os.environ["LC_POINTS"].split(","):
             parts = tok.split(":")
-            points.append((int(parts[0]), int(parts[1]),
-                           len(parts) > 2 and parts[2] == "ee"))
-    if any(ee for _, _, ee in points):
+            ee, dd, eb = False, "compare", 1
+            for p in parts[2:]:
+                if p == "ee":
+                    ee = True
+                elif p == "flags":
+                    dd = "flags"
+                elif p.startswith("e"):
+                    eb, dd = int(p[1:]), "flags"
+            points.append((int(parts[0]), int(parts[1]), ee, dd, eb))
+    if any(p[2] for p in points):
         tidx = tidx.with_radii()
     dev = upload(tidx)
     q_dev = jnp.asarray(eval_q)
 
     out = {"tag": TAG, "n": N, "k": K, "points": []}
     path = f"eval_{TAG}_lc.json"
-    for T, Lc, ee in points:
+    for T, Lc, ee, dd, eb in points:
         bsz = 4096 if T >= 1024 else 8192
 
-        def fn(_T, _Lc=Lc, _ee=ee, _b=bsz):
+        def fn(_T, _Lc=Lc, _ee=ee, _b=bsz, _dd=dd, _eb=eb):
             return tile_search(tidx, q_dev, k=K, T=int(_T), Lc=_Lc,
                                metric="ip", batch_size=_b,
-                               device_arrays=dev, early_exit=_ee)
+                               device_arrays=dev, early_exit=_ee,
+                               dedup_impl=_dd, expand_batch=_eb)
 
         rows = reval.sweep(fn, [T], gt_ids, k=K, metric="ip",
                            n_queries=N_EVAL, verbose="stderr", raw=True,
                            knob="T")
         r = rows[0]
         out["points"].append({"T": T, "Lc": Lc, "early_exit": ee,
+                              "dedup": dd, "expand_batch": eb,
                               "qps": r["qps"], "recall": r["recall"],
                               "avg_hops": r["avg_hops"],
                               "avg_visited": r["avg_cmps"]})
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
-        print(f"T={T} Lc={Lc} ee={ee}: {r['qps']:.0f} qps "
+        print(f"T={T} Lc={Lc} ee={ee} {dd} E={eb}: {r['qps']:.0f} qps "
               f"recall {r['recall']:.4f} hops {r['avg_hops']:.0f}",
               flush=True)
     ok = [p for p in out["points"] if p["recall"] >= 0.95]

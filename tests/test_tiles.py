@@ -482,3 +482,47 @@ def test_balanced_assign_spill_passes(capfd):
     # the arbitrary-slot fallback
     assert "spill pass" in err
     assert "arbitrarily" not in err
+
+
+def test_flags_dedup_matches_compare(setup):
+    """Bitmap enqueue-dedup (the large-T serving mode) must walk the same
+    frontier as the compare-based dedup wherever no cluster falls off the
+    queue bottom and re-enters — at these shapes the outputs match
+    entirely."""
+    base, queries, graph, tidx, gt_ids = setup
+    a = tile_search(tidx, queries, k=10, T=12, Lc=12, metric="ip",
+                    batch_size=256)
+    b = tile_search(tidx, queries, k=10, T=12, Lc=12, metric="ip",
+                    batch_size=256, dedup_impl="flags")
+    assert np.array_equal(a[0], b[0])
+    assert np.array_equal(a[2], b[2])  # cmps: same clusters scanned
+
+
+def test_expand_batch_recall_and_invariants(setup):
+    """Batched expansion (E clusters per queue sort) reads an iteration-
+    stale frontier: not bit-pinned, but recall must hold, every cluster is
+    expanded at most once (no duplicate result ids), and the full scan is
+    exact."""
+    base, queries, graph, tidx, gt_ids = setup
+    ref = tile_search(tidx, queries, k=10, T=16, Lc=16, metric="ip",
+                      batch_size=256)
+    r_ref = recall(ref[0], gt_ids)
+    for E in (4, 16):
+        out = tile_search(tidx, queries, k=10, T=16, Lc=16, metric="ip",
+                          batch_size=256, dedup_impl="flags",
+                          expand_batch=E)
+        assert recall(out[0], gt_ids) >= r_ref - 0.02, E
+        for row in out[0]:
+            live = row[row >= 0]
+            assert len(set(live.tolist())) == live.size  # no dup results
+    K = tidx.num_clusters
+    full = tile_search(tidx, queries, k=10, T=K, Lc=K, metric="ip",
+                       batch_size=256, dedup_impl="flags", expand_batch=8)
+    assert recall(full[0], gt_ids) == 1.0
+
+
+def test_expand_batch_requires_flags(setup):
+    base, queries, _, tidx, _ = setup
+    with pytest.raises(ValueError, match="flags"):
+        tile_search(tidx, queries[:32], k=10, T=8, Lc=8, metric="ip",
+                    batch_size=32, expand_batch=4)
