@@ -686,7 +686,9 @@ def sharded_tile_search_step(mesh: Mesh, *, k: int, T: int, Lc: int,
                              has_nbr_table: bool = False,
                              has_scales: bool = False,
                              nbr_impl: str = "auto",
-                             merge_every: int = 1):
+                             merge_every: int = 1,
+                             dedup_impl: str = "compare",
+                             expand_batch: int = 1):
     """SPMD tile search: per-shard tile walk (local clusters only, masked by
     ``n_clusters``), then ONE ``all_gather`` of the [B, k] per-shard results
     over the shard axis + a two-key sort — the identical merge schedule as
@@ -714,7 +716,8 @@ def sharded_tile_search_step(mesh: Mesh, *, k: int, T: int, Lc: int,
             ac, acn, sc,
             k=k, T=T, Lc=Lc, metric=metric, scan_impl=scan_impl,
             valid_clusters=ncl[0], nbr_impl=nbr_impl,
-            merge_every=merge_every)
+            merge_every=merge_every, dedup_impl=dedup_impl,
+            expand_batch=expand_batch)
         gid = jnp.where(ids >= 0, ids + offsets[0], jnp.int32(BIG))
         gd = jnp.where(ids >= 0, d, jnp.inf)
         all_i = jax.lax.all_gather(gid, "shard")            # [S, B, k]
@@ -743,7 +746,9 @@ def sharded_tile_search(index: ShardedTileIndex, queries, *, k: int = 10,
                         with_stats: bool = False,
                         nbr_table: bool | None = None,
                         nbr_impl: str = "auto",
-                        merge_every: int = 1):
+                        merge_every: int = 1,
+                        dedup_impl: str = "compare",
+                        expand_batch: int = 1):
     """Host wrapper for the SPMD tile search. Returns (ids [Q, k] global,
     dists [Q, k]); ``with_stats=True`` adds per-shard (cmps, hops).
 
@@ -783,7 +788,9 @@ def sharded_tile_search(index: ShardedTileIndex, queries, *, k: int = 10,
                                     has_nbr_table=nbr_table,
                                     has_scales=index.scales is not None,
                                     nbr_impl=nbr_impl,
-                                    merge_every=merge_every)
+                                    merge_every=merge_every,
+                                    dedup_impl=dedup_impl,
+                                    expand_batch=expand_batch)
     ids, d, cmps, hops = step(
         jnp.asarray(index.tiles_t), jnp.asarray(index.gids),
         jnp.asarray(index.centroids), jnp.asarray(index.adj),

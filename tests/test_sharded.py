@@ -368,3 +368,41 @@ def test_sharded_tile_search_merge_every(rng):
                               mesh=mesh, merge_every=3)
     np.testing.assert_array_equal(got[0], ref[0])
     np.testing.assert_array_equal(got[1], ref[1])
+
+
+def test_sharded_tile_search_flags_expand_batch(rng):
+    """The large-T serving modes (bitmap dedup + batched expansion) through
+    the SPMD path: flags alone must match the compare-dedup walk here (no
+    queue-bottom evictions at these shapes); expand_batch reads a stale
+    frontier, so it is held to recall parity, not bit-identity."""
+    from roargraph_tpu.dist import build_sharded_tiles, sharded_tile_search
+
+    base, train_q = make_crossmodal(rng, n_base=700, n_query=500, dim=16)
+    eval_q = make_crossmodal(rng, n_base=1, n_query=32, dim=16)[1]
+    cfg = rt.BuildConfig(metric="ip", M_sq=20, M_pjbp=6, L_pjpq=30,
+                         prune_batch=256, search_batch=128)
+
+    def knn_fn(shard):
+        return knn(train_q, shard, k=cfg.M_sq, metric="ip")[0]
+
+    index = build_sharded(base, knn_fn, cfg, n_shards=4)
+    stidx = build_sharded_tiles(index, cluster_size=64, Mc=8, metric="ip")
+    mesh = make_mesh(4, 2)
+    ref = sharded_tile_search(stidx, eval_q, k=10, T=7, metric="ip",
+                              mesh=mesh)
+    fl = sharded_tile_search(stidx, eval_q, k=10, T=7, metric="ip",
+                             mesh=mesh, dedup_impl="flags")
+    np.testing.assert_array_equal(fl[0], ref[0])
+    gt_ids = knn(eval_q, base, k=10, metric="ip")[0]
+
+    def rec(ids):
+        return np.mean([len(set(ids[i].tolist())
+                            & set(np.asarray(gt_ids)[i].tolist())) / 10
+                        for i in range(ids.shape[0])])
+
+    eb = sharded_tile_search(stidx, eval_q, k=10, T=7, metric="ip",
+                             mesh=mesh, dedup_impl="flags", expand_batch=4)
+    assert rec(eb[0]) >= rec(ref[0]) - 0.02
+    for row in eb[0]:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == live.size
