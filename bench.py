@@ -246,13 +246,20 @@ def main():
         T_values += [64, 96, 128, 192]
 
     tile_scan = os.environ.get("BENCH_TILE_SCAN", "auto")
+    # engine knobs (tiles.py large-T serving modes): queue-width factor
+    # (Lc = factor*T; 1 measured recall-identical to 2 and +42% at 10M),
+    # dedup impl, expansion batch
+    tile_lcf = float(os.environ.get("BENCH_TILE_LC_FACTOR", 2))
+    tile_dedup = os.environ.get("BENCH_TILE_DEDUP", "compare")
+    tile_eb = int(os.environ.get("BENCH_TILE_EB", 1))
 
     def tile_fn(T):
         # sweep knob: clusters scanned per query (rides the L_pq column)
         return tile_search(tidx, eval_q, k=K, T=T,
-                           Lc=max(2 * T, 16), metric=METRIC,
+                           Lc=max(int(tile_lcf * T), T, 16), metric=METRIC,
                            batch_size=batch, device_arrays=tile_dev,
-                           scan_impl=tile_scan)
+                           scan_impl=tile_scan, dedup_impl=tile_dedup,
+                           expand_batch=tile_eb)
 
     log(f"tile sweep ({tile_dtype}, C={tidx.cluster_size}, "
         f"K={tidx.num_clusters}; column 1 is T = clusters scanned):")

@@ -159,6 +159,10 @@ def main():
     # scales with Lc and dominates at large T. Default factor 1; the
     # round-3 2T default stays selectable via SERVE_LC_FACTOR=2.
     lc_factor = float(os.environ.get("SERVE_LC_FACTOR", 1))
+    # engine modes (tiles.py): SERVE_DEDUP=flags + SERVE_EB=E select the
+    # large-T serving path (bitmap dedup, E expansions per queue sort)
+    dedup = os.environ.get("SERVE_DEDUP", "compare")
+    eb = int(os.environ.get("SERVE_EB", 1))
 
     def int8_fn(T, merge_every=1, early_exit=False, impl=None):
         # T-aware batch: a T=1536/B=8192 program runs ~57 s of device wall
@@ -171,7 +175,8 @@ def main():
                            metric="ip",
                            batch_size=bsz, device_arrays=dev8,
                            scan_impl=impl or scan, merge_every=merge_every,
-                           early_exit=early_exit)
+                           early_exit=early_exit, dedup_impl=dedup,
+                           expand_batch=(1 if early_exit else eb))
 
     # ---- primary leg: int8, adaptive T --------------------------------
     # K at 10M is ~10x the 1M index's; the 1M knee (T~96 of 5587) gives no
