@@ -90,10 +90,15 @@ def make_data(n, n_train, n_eval, d, seed):
     return base, queries[:n_train], queries[n_train:]
 
 
-def make_data_cached(n, n_train, n_eval, d, seed, tag):
+def make_data_cached(n, n_train, n_eval, d, seed, tag, normalize=False):
     """make_data with an on-disk .npy cache (mmap on reload): regenerating
     the 10M set costs ~10 min of single-core RNG per process launch, which
-    every build/serve restart would otherwise repay."""
+    every build/serve restart would otherwise repay.
+
+    ``normalize=True`` row-normalizes at cache-WRITE time (the laion/webvid
+    convention: unit CLIP embeddings under IP — ``prepare_for_clip_webvid.py``
+    re-normalizes after pooling), so every reload is already normalized and
+    the cached mmap stays read-only."""
     paths = {k: os.path.join("build", f"{tag}_{k}.npy")
              for k in ("base", "train", "eval")}
     if all(os.path.exists(p) for p in paths.values()):
@@ -102,6 +107,9 @@ def make_data_cached(n, n_train, n_eval, d, seed, tag):
     base, train_q, eval_q = make_data(n, n_train, n_eval, d, seed)
     os.makedirs("build", exist_ok=True)
     for k, arr in (("base", base), ("train", train_q), ("eval", eval_q)):
+        if normalize:
+            np.divide(arr, np.linalg.norm(arr, axis=1, keepdims=True),
+                      out=arr)
         np.save(paths[k], arr)
     return base, train_q, eval_q
 

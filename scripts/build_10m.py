@@ -71,7 +71,8 @@ def main():
 
     t0 = time.time()
     base, train_q, eval_q = benchmod.make_data_cached(N, N_TRAIN, N_EVAL, D,
-                                                     SEED, TAG)
+                                                     SEED, TAG,
+                                        normalize=bool(os.environ.get("B10M_NORM")))
     print(f"data: {time.time() - t0:.0f}s", flush=True)
     train_dev = None  # uploaded once, lazily (only if some shard needs GT)
     n_s = (N + S - 1) // S

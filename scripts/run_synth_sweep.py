@@ -48,6 +48,27 @@ def main():
     if os.environ.get("SWEEP_L"):  # partial rerun, e.g. after a device crash
         sweep_l = [int(x) for x in os.environ["SWEEP_L"].split(",")]
 
+    # SWEEP_RESUME=1: skip L points already in the CSV and append the rest
+    # (a watchdog retry after a mid-sweep worker crash keeps its completed
+    # rows instead of re-paying the whole sweep — hours at >=1M)
+    resume_merge = None
+    if os.environ.get("SWEEP_RESUME") and os.path.exists(csv_path):
+        done = set()
+        with open(csv_path) as f:
+            for line in f:
+                head = line.split(",", 1)[0].strip()
+                if head and not head.startswith("#"):
+                    done.add(int(float(head)))
+        remaining = [l for l in sweep_l if l not in done]
+        if not remaining:
+            print(f"# resume: all {len(sweep_l)} points already in "
+                  f"{csv_path}", file=sys.stderr, flush=True)
+            return
+        print(f"# resume: {len(done)} done, {len(remaining)} remaining",
+              file=sys.stderr, flush=True)
+        sweep_l = remaining
+        resume_merge, csv_path = csv_path, csv_path + ".part"
+
     import roargraph_tpu as rt
     from roargraph_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -128,6 +149,17 @@ def main():
                        metric=rt.Metric.IP, n_queries=N_EVAL,
                        gt_dists=gt_dists, csv_path=csv_path, verbose=True,
                        warmup_fn=warm)
+    if resume_merge is not None:
+        # fold the .part rows into the original CSV, ordered by L
+        with open(csv_path) as f:
+            part = [l for l in f if l.strip() and not l.startswith("#")]
+        with open(resume_merge) as f:
+            kept = [l for l in f if l.strip() and not l.startswith("#")]
+        merged = sorted(kept + part, key=lambda l: int(float(l.split(",")[0])))
+        with open(resume_merge, "w") as f:
+            f.writelines(merged)
+        os.remove(csv_path)
+        csv_path = resume_merge
     print(f"# sweep wall: {time.time() - t0:.1f}s -> {csv_path}",
           file=sys.stderr, flush=True)
     best = reval.qps_at_recall(rows, 0.95)

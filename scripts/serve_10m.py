@@ -118,7 +118,8 @@ def main():
 
     t0 = time.time()
     base, _, eval_q = benchmod.make_data_cached(N, N_TRAIN, N_EVAL, D, SEED,
-                                               TAG)
+                                               TAG,
+                                        normalize=bool(os.environ.get("B10M_NORM")))
     print(f"data: {time.time() - t0:.0f}s", flush=True)
     with np.load(os.path.join("build", f"{TAG}_eval_gt.npz")) as z:
         gt_ids = z["ids"][:, :K].astype(np.int64)
