@@ -82,16 +82,50 @@ def main():
         M_pjbp=int(os.environ.get("B10M_MPJBP", 35)),
         L_pjpq=int(os.environ.get("B10M_LPJPQ", 500)),
         prune_batch=1024,
-        search_batch=int(os.environ.get("B10M_SEARCH_BATCH", 2048)))
+        search_batch=int(os.environ.get("B10M_SEARCH_BATCH", 2048)),
+        search_expand=int(os.environ.get("B10M_EXPAND", 1)))
     os.makedirs("build", exist_ok=True)
 
     # exact eval groundtruth (recall measurement must never be approximate)
     eval_gt = os.path.join("build", f"{TAG}_eval_gt.npz")
     if not os.path.exists(eval_gt):
         t0 = time.time()
-        gt_i, gt_d = knn(eval_q, jnp.asarray(base), k=100, metric="ip",
-                         query_batch=8192)
-        np.savez(eval_gt, ids=gt_i, dists=gt_d)
+        if N * D * 4 > 12 << 30:
+            # base won't fit HBM next to the sweep workspace (laion-10M at
+            # 512-d is 20.5 GB vs 16 GB on v5e): exact per-shard GT with a
+            # host-side top-k merge, checkpointed per shard so a tunnel
+            # crash never repays completed shards. Scores stay exact
+            # (smaller=better), ids offset into the global space.
+            run_i = np.full((N_EVAL, 100), -1, np.int64)
+            run_d = np.full((N_EVAL, 100), np.inf, np.float32)
+            eval_dev = jnp.asarray(np.asarray(eval_q))
+            for s in range(S):
+                lo, hi = s * n_s, min((s + 1) * n_s, N)
+                ppath = os.path.join("build", f"{TAG}_eval_gt_part{s}.npz")
+                if os.path.exists(ppath):
+                    with np.load(ppath) as z:
+                        ids, dists = z["ids"], z["dists"]
+                else:
+                    ids, dists = knn(eval_dev, jnp.asarray(base[lo:hi]),
+                                     k=100, metric="ip", query_batch=8192)
+                    ids = ids.astype(np.int64) + lo
+                    np.savez(ppath, ids=ids, dists=dists)
+                    print(f"eval gt part {s}: {time.time() - t0:.0f}s",
+                          flush=True)
+                all_d = np.concatenate([run_d, dists.astype(np.float32)], 1)
+                all_i = np.concatenate([run_i, ids], 1)
+                order = np.argsort(all_d, axis=1, kind="stable")[:, :100]
+                run_d = np.take_along_axis(all_d, order, axis=1)
+                run_i = np.take_along_axis(all_i, order, axis=1)
+            np.savez(eval_gt, ids=run_i, dists=run_d)
+            for s in range(S):
+                ppath = os.path.join("build", f"{TAG}_eval_gt_part{s}.npz")
+                if os.path.exists(ppath):
+                    os.remove(ppath)
+        else:
+            gt_i, gt_d = knn(eval_q, jnp.asarray(base), k=100, metric="ip",
+                             query_batch=8192)
+            np.savez(eval_gt, ids=gt_i, dists=gt_d)
         print(f"eval gt: {time.time() - t0:.0f}s", flush=True)
 
     walls = {}

@@ -169,8 +169,9 @@ def main():
         # T-aware batch: a T=1536/B=8192 program runs ~57 s of device wall
         # at 10M — at the tunnel's long-program fault threshold (T=3072
         # kills the worker 8/8). Halving the batch halves program wall at
-        # these device-bound T.
-        bsz = 4096 if int(T) >= 1024 else 8192
+        # these device-bound T. Scan bytes scale with T*D, so the threshold
+        # is D-aware (laion's 512-d rows hit the wall at 2.56x lower T).
+        bsz = 4096 if int(T) * D >= 1024 * 200 else 8192
         return tile_search(q8, q_dev, k=K, T=int(T),
                            Lc=max(int(lc_factor * int(T)), int(T), 16),
                            metric="ip",
