@@ -38,32 +38,45 @@ def main():
     with np.load(os.path.join("build", f"{TAG}_eval_gt.npz")) as z:
         gt_ids = z["ids"][:, :K].astype(np.int64)
 
+    # The 10M index is 8 independent per-shard RoarGraphs (the scale-out
+    # design: no cross-shard edges — a single union-graph walk from one
+    # medoid reaches only its own shard, recall caps at 1/S). The honest
+    # flat-engine serving semantics at 10M is therefore the sharded one
+    # (dist.sharded_search): walk EVERY shard from its own medoid, merge
+    # top-k by (dist, id) on the host. 1-thread QPS charges the sum of all
+    # S walks' wall to each query batch.
     n_s = (N + S - 1) // S
-    t0 = time.time()
     graphs = [PaddedGraph.load_npz(
         os.path.join("build", f"{TAG}_graph_shard{s}.npz"))
         for s in range(S)]
-    width = max(g.ids.shape[1] for g in graphs)
-    union = np.full((N, width), PAD, np.int32)
-    for s, g in enumerate(graphs):
-        lo = s * n_s
-        ids = g.ids
-        union[lo: lo + ids.shape[0], : ids.shape[1]] = np.where(
-            ids == PAD, PAD, ids + lo)
-    ugraph = PaddedGraph(ids=union, ep=int(graphs[0].ep))
-    del graphs
-    print(f"union graph: {time.time() - t0:.0f}s (width {width})", flush=True)
+    shard_bases = [base[s * n_s: min((s + 1) * n_s, N)] for s in range(S)]
 
     L_values = ([int(x) for x in sys.argv[1].split(",")] if len(sys.argv) > 1
-                else [100, 150, 200, 300, 400, 500, 700, 1000])
+                else [60, 100, 150, 200, 300, 500])
 
     def cpu_fn(c):
-        return native.search_native(ugraph, base, eval_q, c, num_threads=1)
+        all_i, all_d, all_c, all_h = [], [], [], []
+        for s in range(S):
+            si, sd, sc, sh = native.search_native(
+                graphs[s], shard_bases[s], eval_q, c, num_threads=1)
+            all_i.append(np.where(si >= 0, si.astype(np.int64) + s * n_s,
+                                  np.int64(2**62)))
+            all_d.append(np.where(si >= 0, sd, np.inf))
+            all_c.append(sc)
+            all_h.append(sh)
+        cat_i = np.concatenate(all_i, axis=1)
+        cat_d = np.concatenate(all_d, axis=1)
+        order = np.lexsort((cat_i, cat_d), axis=1)[:, :K]
+        out_i = np.take_along_axis(cat_i, order, axis=1)
+        out_d = np.take_along_axis(cat_d, order, axis=1)
+        out_i = np.where(out_i == 2**62, -1, out_i).astype(np.int32)
+        return (out_i, out_d, np.sum(all_c, axis=0), np.sum(all_h, axis=0))
 
     rows = reval.sweep(cpu_fn, L_values, gt_ids, k=K, metric="ip",
                        n_queries=N_EVAL, warmup=False, verbose="stderr")
     out = {
-        "tag": TAG, "n": N, "d": D, "engine": "cpp_native_1thread",
+        "tag": TAG, "n": N, "d": D,
+        "engine": "cpp_native_1thread_sharded_merge",
         "note": ("run niced alongside the laion build chain's host loop on "
                  "the 1-core host; QPS carries a few-percent contention "
                  "penalty"),
