@@ -24,7 +24,11 @@ export B10M_TAG=t2i10m B10M_D=200 B10M_N=10000000 B10M_TRAIN=1250000
 export B10M_SHARDS=8
 export SERVE_TILE_C=1024 SERVE_T="96,144,192,240" SERVE_T_MAX=768
 export SERVE_OUT_SUFFIX=_c1024
-export SERVE_NO_ME=1 SERVE_NO_EE=1 SERVE_NO_FUSED=1
+# ee left ENABLED (VERDICT r4 #7): the serve script's own K<=20k gate
+# admits it at C=1024 (K~14k — 4x below the K~56k that faulted the worker
+# in round 4), and the ee leg runs only after the headline JSON is written,
+# so a fault costs a retry, not the result.
+export SERVE_NO_ME=1 SERVE_NO_FUSED=1
 for i in 1 2 3; do
   if python scripts/watchdog_run.py --log /tmp/s10m_c1024.log --stall 3600 \
       -- python -u scripts/serve_10m.py; then
